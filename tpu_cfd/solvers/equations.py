@@ -1,0 +1,267 @@
+"""Pseudo-spectral Navier-Stokes equations and IMEX time steppers.
+
+TPU-native counterpart of the reference's ``torch_cfd/equations.py``
+(ImplicitExplicitODE: equations.py:67, stable_time_step: :35, IMEXStepper:
+:110, RK4CrankNicolsonStepper: :249, NavierStokes2DSpectral: :361). The
+reference's ``nn.Module``s with registered buffers become plain dataclasses
+whose precomputed spectral operators (rfft meshes, Laplacian symbol, 2/3-rule
+mask, linear term) are ordinary arrays computed once at construction and
+closed over by the jitted step — XLA constant-folds and fuses them with the
+surrounding FFTs.
+
+Everything operates on the rfft2 half-spectrum of vorticity with arbitrary
+leading batch dims, so ``vmap``/``pjit`` batch sharding applies directly, and
+``forward(..., steps=n)`` lowers to one fused ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_cfd import grids
+from tpu_cfd.ops.spectral import (
+    brick_wall_filter_2d,
+    spectral_curl_2d,
+    vorticity_to_velocity,
+)
+
+Array = jax.Array
+Grid = grids.Grid
+
+
+def stable_time_step(
+    dx: Optional[float] = None,
+    dt: Optional[float] = None,
+    max_velocity: float = 1.0,
+    max_courant_number: float = 0.5,
+    viscosity: float = 1e-3,
+    implicit_diffusion: bool = True,
+    ndim: int = 2,
+) -> float:
+    """CFL + (explicit) diffusion bound on the time step (equations.py:35)."""
+    dt_diffusion = dx
+    if not implicit_diffusion:
+        dt_diffusion = dx**2 / (viscosity * 2 ** (ndim))
+    dt_advection = max_courant_number * dx / max_velocity
+    dt = dt_advection if dt is None else dt
+    return min(dt_diffusion, dt_advection, dt)
+
+
+class ImplicitExplicitODE:
+    """∂u/∂t = explicit_terms(u) + implicit_terms(u) (equations.py:67).
+
+    ``explicit_terms`` is the (nonlinear) part integrated explicitly;
+    ``implicit_terms`` the (linear) part integrated implicitly;
+    ``implicit_solve(f, eta)`` solves u - eta*implicit_terms(u) = f.
+    """
+
+    def explicit_terms(self, u: Array) -> Array:
+        raise NotImplementedError
+
+    def implicit_terms(self, u: Array) -> Array:
+        raise NotImplementedError
+
+    def implicit_solve(self, f: Array, step_size: float) -> Array:
+        raise NotImplementedError
+
+    def residual(self, u: Array, u_t: Array) -> Array:
+        """PDE residual u_t - N(u) - L(u)."""
+        return u_t - self.explicit_terms(u) - self.implicit_terms(u)
+
+
+@dataclasses.dataclass
+class IMEXStepper:
+    """IMEX time stepping with configurable order (equations.py:110).
+
+    order=1: forward-backward Euler (alpha=1); order=1.5: Crank-Nicolson
+    IMEX (alpha=0.5); order=2: RK2 Crank-Nicolson (alpha=0.5 Heun,
+    alpha=2/3 Ralston). Coefficients are plain floats here — they trace into
+    the jitted step as constants; make them learnable by threading them
+    through a flax module if needed (the reference optionally registers them
+    as trainable nn.Parameters, equations.py:161-172).
+    """
+
+    order: float = 2
+    alpha: float = 0.5
+    beta: float = 0.5
+
+    def __call__(self, u: Array, dt: float, equation: ImplicitExplicitODE) -> Array:
+        if self.order in (1, 1.5):
+            return self._imex(u, dt, equation)
+        elif self.order == 2:
+            return self._rk2_crank_nicolson(u, dt, equation)
+        raise ValueError(f"unsupported IMEX order: {self.order}")
+
+    def _imex(self, u: Array, dt: float, equation: ImplicitExplicitODE) -> Array:
+        alpha = 1.0 if self.order == 1 else self.alpha
+        F = equation.explicit_terms
+        G = equation.implicit_terms
+        G_inv = equation.implicit_solve
+        g = u + dt * F(u) + (1 - alpha) * dt * G(u)
+        return G_inv(g, alpha * dt)
+
+    def _rk2_crank_nicolson(
+        self, u: Array, dt: float, equation: ImplicitExplicitODE
+    ) -> Array:
+        """RK2-CN (Chandler & Kerswell 2013, §3; equations.py:193-247)."""
+        alpha, beta = self.alpha, self.beta
+        F = equation.explicit_terms
+        G = equation.implicit_terms
+        G_inv = equation.implicit_solve
+        g = u + beta * dt * G(u)
+        h = F(u)
+        u = G_inv(g + dt * h, beta * dt)
+        h = alpha * F(u) + (1 - alpha) * h
+        return G_inv(g + dt * h, beta * dt)
+
+
+# Carpenter-Kennedy low-storage coefficients (equations.py:294-318)
+_CARPENTER_KENNEDY = dict(
+    alphas=(
+        0.0,
+        0.1496590219993,
+        0.3704009573644,
+        0.6222557631345,
+        0.9582821306748,
+        1.0,
+    ),
+    betas=(0.0, -0.4178904745, -1.192151694643, -1.697784692471, -1.514183444257),
+    gammas=(0.1496590219993, 0.3792103129999, 0.8229550293869, 0.6994504559488, 0.1530572479681),
+)
+
+# classic 4-stage RK4 (equations.py:320-326)
+_CLASSIC_RK4 = dict(
+    alphas=(0.0, 0.5, 0.5, 1.0, 1.0),
+    betas=(0.0, 0.0, 0.0, 0.0),
+    gammas=(1 / 6, 1 / 3, 1 / 3, 1 / 6),
+)
+
+
+@dataclasses.dataclass
+class RK4CrankNicolsonStepper(IMEXStepper):
+    """Low-storage RK4 (Carpenter-Kennedy) with Crank-Nicolson implicit part.
+
+    Second-order accurate for the implicit terms, up to fourth-order for the
+    explicit terms — the standard pseudo-spectral turbulence stepper (Canuto
+    et al. 2007, App. D.3; reference equations.py:249-358). The 5-stage loop
+    is unrolled at trace time so XLA fuses each stage's pointwise updates
+    with the FFTs inside ``explicit_terms``.
+    """
+
+    order: float = 4
+    low_storage: bool = True
+
+    def __call__(self, u: Array, dt: float, equation: ImplicitExplicitODE) -> Array:
+        w = _CARPENTER_KENNEDY if self.low_storage else _CLASSIC_RK4
+        alphas, betas, gammas = w["alphas"], w["betas"], w["gammas"]
+        if len(alphas) - 1 != len(betas) or len(betas) != len(gammas):
+            raise ValueError("number of RK coefficients does not match")
+        F = equation.explicit_terms
+        G = equation.implicit_terms
+        G_inv = equation.implicit_solve
+        h = 0
+        for k in range(len(betas)):
+            h = F(u) + betas[k] * h
+            mu = 0.5 * dt * (alphas[k + 1] - alphas[k])
+            u = G_inv(u + gammas[k] * dt * h + mu * G(u), mu)
+        return u
+
+
+@dataclasses.dataclass
+class NavierStokes2DSpectral(ImplicitExplicitODE):
+    """2-D incompressible NSE in vorticity form, pseudo-spectral (rfft2).
+
+    Explicit part: dealiased advection -(v·∇)ω (+ forcing); implicit part:
+    viscous diffusion + drag, solved in closed form per mode. Counterpart of
+    reference equations.py:361-463.
+
+    State is the rfft2 half-spectrum ``vort_hat`` with shape
+    ``(..., n, n//2+1)``; any leading dims are batch.
+    """
+
+    viscosity: float
+    grid: Grid
+    drag: float = 0.0
+    smooth: bool = True
+    forcing_fn: Optional[object] = None
+    solver: Optional[IMEXStepper] = None
+    dtype: object = jnp.float32
+
+    def __post_init__(self):
+        if self.solver is None:
+            self.solver = RK4CrankNicolsonStepper()
+        kx, ky = self.grid.rfft_mesh(dtype=self.dtype)
+        self.kx, self.ky = kx, ky
+        # Laplacian symbol WITHOUT the zero-mode guard (equations.py:398):
+        # the guard only matters for the stream-function inversion, which
+        # vorticity_to_velocity applies internally.
+        self.laplace = -4 * (jnp.pi**2) * (jnp.abs(kx) ** 2 + jnp.abs(ky) ** 2)
+        self.linear_term = self.viscosity * self.laplace - self.drag
+        self.filter = brick_wall_filter_2d(self.grid, dtype=self.dtype)
+
+    def _explicit_terms(self, vort_hat: Array) -> Array:
+        vhat, _ = vorticity_to_velocity(self.grid, vort_hat, (self.kx, self.ky))
+        vx = jnp.fft.irfft2(vhat[0], s=self.grid.shape)
+        vy = jnp.fft.irfft2(vhat[1], s=self.grid.shape)
+
+        grad_x_hat = 2j * jnp.pi * self.kx * vort_hat
+        grad_y_hat = 2j * jnp.pi * self.ky * vort_hat
+        grad_x = jnp.fft.irfft2(grad_x_hat, s=self.grid.shape)
+        grad_y = jnp.fft.irfft2(grad_y_hat, s=self.grid.shape)
+
+        advection = -(grad_x * vx + grad_y * vy)
+        advection_hat = jnp.fft.rfft2(advection)
+
+        if self.smooth:
+            advection_hat = advection_hat * self.filter
+
+        terms = advection_hat
+        if self.forcing_fn is not None:
+            if not self.forcing_fn.vorticity:
+                fx, fy = self.forcing_fn(self.grid, (vx, vy))
+                fx_hat = jnp.fft.rfft2(fx.data)
+                fy_hat = jnp.fft.rfft2(fy.data)
+                terms = terms + spectral_curl_2d((fx_hat, fy_hat), (self.kx, self.ky))
+            else:
+                f = self.forcing_fn(self.grid, vort_hat)
+                f_hat = jnp.fft.rfft2(f.data)
+                terms = terms + f_hat
+        return terms
+
+    def explicit_terms(self, vort_hat: Array) -> Array:
+        return self._explicit_terms(vort_hat)
+
+    def implicit_terms(self, vort_hat: Array) -> Array:
+        return self.linear_term * vort_hat
+
+    def implicit_solve(self, vort_hat: Array, dt: float) -> Array:
+        # closed form per-mode solve: (1 - dt L)^{-1} (equations.py:446)
+        return 1 / (1 - dt * self.linear_term) * vort_hat
+
+    def step(self, vort_hat: Array, dt: float, steps: int = 1):
+        return self.forward(vort_hat, dt, steps)
+
+    def forward(
+        self, vort_hat: Array, dt: float, steps: int = 1
+    ) -> Tuple[Array, Array]:
+        """Marches ``steps`` steps; returns (ŵ_new, ∂ŵ/∂t estimate).
+
+        ``steps`` is static; the loop lowers to one ``lax.scan`` so the whole
+        rollout is a single compiled kernel sequence.
+        """
+        vort_old = vort_hat
+        if steps == 1:
+            vort_hat = self.solver(vort_hat, dt, self)
+        else:
+            def body(w, _):
+                return self.solver(w, dt, self), None
+
+            vort_hat, _ = jax.lax.scan(body, vort_hat, None, length=steps)
+        dvortdt_hat = 1 / (steps * dt) * (vort_hat - vort_old)
+        return vort_hat, dvortdt_hat
+
+    __call__ = forward
