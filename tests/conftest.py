@@ -21,4 +21,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The env var alone is too late: the axon sitecustomize imported jax (and set
+# jax_platforms) at interpreter startup. The config update below still works
+# because backends bind lazily on first jax.devices().
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,197 @@
+"""Tests for spectral ops, the pseudo-spectral NS solver, and trajectories.
+
+Correctness contracts from the reference (SURVEY.md §4): quantitative
+tolerances (analytic Taylor-Green decay, div-free stream-function velocity),
+physics checks (enstrophy decay, inverse-cascade spectrum shape), and
+jit/vmap/scan compatibility.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_cfd import grids
+from tpu_cfd.ops import spectral
+from tpu_cfd.solvers import equations, forcings, initial_conditions as ic
+from tpu_cfd.solvers import trajectories
+
+
+def make_grid(n=64, diam=2 * np.pi):
+    return grids.Grid((n, n), domain=((0, diam), (0, diam)))
+
+
+class TestSpectralOps:
+    def test_spectral_grad_of_sin(self):
+        grid = make_grid(64)
+        x, y = grid.mesh(dtype=jnp.float64)
+        u = jnp.sin(x)
+        u_hat = jnp.fft.rfft2(u)
+        kx, ky = grid.rfft_mesh(dtype=jnp.float64)
+        ux_hat, uy_hat = spectral.spectral_grad_2d(u_hat, (kx, ky))
+        ux = jnp.fft.irfft2(ux_hat, s=grid.shape)
+        np.testing.assert_allclose(ux, jnp.cos(x), atol=1e-10)
+        uy = jnp.fft.irfft2(uy_hat, s=grid.shape)
+        np.testing.assert_allclose(uy, 0.0, atol=1e-10)
+
+    def test_vorticity_to_velocity_consistency(self):
+        # velocity from streamfunction must reproduce the vorticity via curl
+        grid = make_grid(64)
+        key = jax.random.PRNGKey(0)
+        w = ic.vorticity_field(key, grid, peak_wavenumber=4, dtype=jnp.float64)
+        w_hat = jnp.fft.rfft2(w.data)
+        (u_hat, v_hat), psi_hat = spectral.vorticity_to_velocity(grid, w_hat)
+        kx, ky = grid.rfft_mesh(dtype=jnp.float64)
+        # divergence-free
+        div_hat = spectral.spectral_div_2d((u_hat, v_hat), (kx, ky))
+        div = jnp.fft.irfft2(div_hat, s=grid.shape)
+        assert float(jnp.abs(div).max()) < 1e-10
+        # curl reproduces vorticity
+        curl_hat = spectral.spectral_curl_2d((u_hat, v_hat), (kx, ky))
+        curl = jnp.fft.irfft2(curl_hat, s=grid.shape)
+        np.testing.assert_allclose(curl, w.data, atol=1e-8)
+
+    def test_brick_wall_filter(self):
+        grid = make_grid(12)
+        filt = spectral.brick_wall_filter_2d(grid)
+        assert filt.shape == (12, 7)
+        assert filt[0, 0] == 1
+        # high modes are zeroed
+        assert filt[6, 0] == 0
+        assert filt[0, 6] == 0
+
+
+class TestNavierStokesSpectral:
+    def test_taylor_green_decay_analytic(self):
+        """Taylor-Green vorticity decays exactly as exp(-2 nu t) (kappa=1)."""
+        nu = 1e-2
+        grid = make_grid(64)
+        x, y = grid.mesh(dtype=jnp.float64)
+        w0 = 2 * jnp.sin(x) * jnp.sin(y)
+        ns = equations.NavierStokes2DSpectral(
+            viscosity=nu, grid=grid, dtype=jnp.float64
+        )
+        dt, steps = 1e-3, 200
+        what, _ = ns.forward(jnp.fft.rfft2(w0), dt, steps=steps)
+        w = jnp.fft.irfft2(what, s=grid.shape)
+        expected = w0 * np.exp(-2 * nu * dt * steps)
+        np.testing.assert_allclose(w, expected, atol=2e-6)
+
+    def test_enstrophy_decay_unforced(self):
+        grid = make_grid(64)
+        key = jax.random.PRNGKey(1)
+        w0 = ic.vorticity_field(key, grid, peak_wavenumber=4).data
+        ns = equations.NavierStokes2DSpectral(viscosity=1e-3, grid=grid)
+        what, _ = ns.forward(jnp.fft.rfft2(w0), 1e-3, steps=100)
+        w = jnp.fft.irfft2(what, s=grid.shape)
+        assert bool(jnp.isfinite(w).all())
+        assert float((w**2).mean()) < float((w0**2).mean())
+
+    def test_kolmogorov_forcing_injects_energy(self):
+        grid = make_grid(64)
+        forcing = forcings.KolmogorovForcing(
+            grid=grid, scale=1.0, wave_number=2, vorticity=False
+        )
+        ns = equations.NavierStokes2DSpectral(
+            viscosity=1e-2, grid=grid, drag=0.1, forcing_fn=forcing
+        )
+        w0 = jnp.zeros(grid.shape)
+        what, _ = ns.forward(jnp.fft.rfft2(w0), 1e-2, steps=50)
+        w = jnp.fft.irfft2(what, s=grid.shape)
+        assert float((w**2).mean()) > 1e-4  # forcing spun up the flow
+
+    def test_imex_orders_agree(self):
+        grid = make_grid(32)
+        key = jax.random.PRNGKey(2)
+        w0 = ic.vorticity_field(key, grid, peak_wavenumber=3, dtype=jnp.float64).data
+        what0 = jnp.fft.rfft2(w0)
+        results = []
+        for solver in [
+            equations.IMEXStepper(order=1),
+            equations.IMEXStepper(order=1.5),
+            equations.IMEXStepper(order=2),
+            equations.RK4CrankNicolsonStepper(),
+            equations.RK4CrankNicolsonStepper(low_storage=False),
+        ]:
+            ns = equations.NavierStokes2DSpectral(
+                viscosity=1e-3, grid=grid, solver=solver, dtype=jnp.float64
+            )
+            what, _ = ns.forward(what0, 1e-4, steps=50)
+            results.append(jnp.fft.irfft2(what, s=grid.shape))
+        for r in results[1:]:
+            np.testing.assert_allclose(r, results[0], atol=1e-4)
+
+    def test_vmap_matches_loop(self):
+        grid = make_grid(32)
+        keys = jax.random.split(jax.random.PRNGKey(3), 3)
+        w0 = jnp.stack([ic.vorticity_field(k, grid, 3).data for k in keys])
+        ns = equations.NavierStokes2DSpectral(viscosity=1e-3, grid=grid)
+        step = functools.partial(ns.forward, dt=1e-3, steps=10)
+        batched, _ = step(jnp.fft.rfft2(w0))
+        single = jnp.stack([step(jnp.fft.rfft2(w0[i]))[0] for i in range(3)])
+        np.testing.assert_allclose(batched, single, rtol=2e-5, atol=1e-6)
+
+    def test_stable_time_step(self):
+        dt = equations.stable_time_step(dx=0.1, max_velocity=2.0)
+        assert dt == pytest.approx(0.025)
+
+
+class TestTrajectories:
+    def test_get_trajectory_imex_shapes(self):
+        grid = make_grid(32)
+        ns = equations.NavierStokes2DSpectral(viscosity=1e-3, grid=grid)
+        w0 = ic.vorticity_field(jax.random.PRNGKey(0), grid, 3).data
+        result = trajectories.get_trajectory_imex(
+            ns, jnp.fft.rfft2(w0), dt=1e-3, num_steps=40, record_every_steps=10
+        )
+        assert set(result) == {"vorticity", "stream", "vort_t", "residual"}
+        for v in result.values():
+            assert v.shape == (4, 32, 17)
+            assert bool(jnp.isfinite(v.real).all())
+
+    def test_trajectory_batched(self):
+        grid = make_grid(32)
+        ns = equations.NavierStokes2DSpectral(viscosity=1e-3, grid=grid)
+        keys = jax.random.split(jax.random.PRNGKey(1), 2)
+        w0 = jnp.stack([ic.vorticity_field(k, grid, 3).data for k in keys])
+        result = trajectories.get_trajectory_imex(
+            ns, jnp.fft.rfft2(w0), dt=1e-3, num_steps=20, record_every_steps=10
+        )
+        assert result["vorticity"].shape == (2, 2, 32, 17)
+
+    def test_imex_crank_nicolson_step_residual_small(self):
+        # the CN residual of its own update should be O(dt) small
+        grid = make_grid(64)
+        w0 = ic.vorticity_field(
+            jax.random.PRNGKey(2), grid, 4, dtype=jnp.float64
+        ).data
+        f = jnp.zeros_like(w0)
+        w_h = jnp.fft.rfft2(w0)
+        f_h = jnp.fft.rfft2(f)
+        mesh = trajectories.default_rfft_mesh(64, 2 * np.pi, dtype=jnp.float64)
+        w_next, dwdt, _, psi, res = trajectories.imex_crank_nicolson_step(
+            w_h, f_h, visc=1e-3, delta_t=1e-4, rfftmesh=mesh, dealias=True
+        )
+        n = 64
+        res_norm = float(
+            jnp.linalg.norm(jnp.fft.irfft2(res, s=(n, n)), axis=(-2, -1)).mean() / n
+        )
+        assert res_norm < 1e-2
+
+    def test_legacy_cn_rollout(self):
+        n = 32
+        grid = grids.Grid((n, n), domain=((0, 1), (0, 1)))
+        w0 = ic.vorticity_field(jax.random.PRNGKey(3), grid, 3).data
+        f = 0.1 * jnp.ones((n, n))
+        out = trajectories.get_trajectory_imex_crank_nicolson(
+            w0, f, visc=1e-3, T=0.1, delta_t=1e-3, record_steps=10, diam=1.0
+        )
+        assert out["vorticity"].shape == (10, n, n)
+        assert bool(jnp.isfinite(out["vorticity"]).all())
+
+    def test_backdiff(self):
+        x = jnp.arange(10.0) ** 2
+        # BDF1 of t^2 at t=9: x[9]-x[8] = 81-64 = 17
+        assert float(trajectories.backdiff(x, order=1)) == pytest.approx(17.0)

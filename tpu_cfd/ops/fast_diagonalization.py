@@ -40,6 +40,23 @@ def outer_sum(x: Sequence[Array]) -> Array:
     return functools.reduce(_sum, x)
 
 
+def _narrow_diagonals(diagonals, dtype) -> np.ndarray:
+    """Narrows setup-time eigenvalue diagonals to the working precision.
+
+    Hermitian (symmetric circulant) operators have real eigenvalues, so the
+    ~0 imaginary part from the numpy fft is dropped — real constants also
+    embed into TPU programs where complex constants are not supported.
+    """
+    diagonals = np.asarray(diagonals)
+    if np.iscomplexobj(diagonals):
+        scale = max(float(np.abs(diagonals).max()), 1e-30)
+        if float(np.abs(diagonals.imag).max()) <= 1e-10 * scale:
+            diagonals = diagonals.real
+    if np.iscomplexobj(diagonals):
+        return diagonals.astype(np.result_type(dtype, np.complex64))
+    return diagonals.astype(np.finfo(dtype).dtype)
+
+
 def transform(
     func: Callable[[Array], Array],
     operators: Sequence[Array],
@@ -99,12 +116,16 @@ def _hermitian_matmul_transform(
     dtype,
 ) -> Callable[[Array], Array]:
     """Fast diagonalization by per-axis eigenvector matmuls (MXU path)."""
+    # Setup runs host-side in numpy: these are small matrices whose
+    # eigendecomposition happens once, and host constants embed directly into
+    # the jitted apply (a device array closed over by jit would need a
+    # device->host copy at lowering time).
     eigenvalues, eigenvectors = zip(
-        *(jnp.linalg.eigh(jnp.asarray(op)) for op in operators)
+        *(np.linalg.eigh(np.asarray(op)) for op in operators)
     )
     summed_eigenvalues = outer_sum(eigenvalues)
-    diagonals = jnp.asarray(func(summed_eigenvalues), dtype)
-    eigenvectors = [jnp.asarray(vec, dtype) for vec in eigenvectors]
+    diagonals = np.asarray(func(summed_eigenvalues), dtype)
+    eigenvectors = [np.asarray(vec, dtype) for vec in eigenvectors]
 
     shape = summed_eigenvalues.shape
     if diagonals.shape != shape:
@@ -150,9 +171,9 @@ def _circulant_fft_transform(
     dtype,
 ) -> Callable[[Array], Array]:
     """Fast diagonalization by N-D FFT (circulant operators)."""
-    eigenvalues = [jnp.fft.fft(op[:, 0]) for op in operators]
+    eigenvalues = [np.fft.fft(np.asarray(op)[:, 0]) for op in operators]
     summed_eigenvalues = outer_sum(eigenvalues)
-    diagonals = jnp.asarray(func(summed_eigenvalues))
+    diagonals = _narrow_diagonals(func(summed_eigenvalues), dtype)
 
     shape = tuple(op.shape[0] for op in operators)
     if diagonals.shape != shape:
@@ -184,11 +205,11 @@ def _circulant_rfft_transform(
         raise ValueError(
             'implementation="rfft" currently requires an even size for the last axis'
         )
-    eigenvalues = [jnp.fft.fft(op[:, 0]) for op in operators[:-1]] + [
-        jnp.fft.rfft(operators[-1][:, 0])
+    eigenvalues = [np.fft.fft(np.asarray(op)[:, 0]) for op in operators[:-1]] + [
+        np.fft.rfft(np.asarray(operators[-1])[:, 0])
     ]
     summed_eigenvalues = outer_sum(eigenvalues)
-    diagonals = jnp.asarray(func(summed_eigenvalues))
+    diagonals = _narrow_diagonals(func(summed_eigenvalues), dtype)
     if diagonals.shape != summed_eigenvalues.shape:
         raise ValueError(
             "output shape from func() does not match input shape: "
@@ -227,7 +248,9 @@ def pseudoinverse_transform(
         cutoff = 10 * jnp.finfo(dtype).eps
 
     def func(eigs):
-        return jnp.where(abs(eigs) > cutoff, 1 / eigs, 0)
+        # numpy on purpose: runs once at setup on host constants
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(np.abs(eigs) > cutoff, 1 / eigs, 0)
 
     return transform(
         func,
@@ -258,7 +281,8 @@ def pseudoinverse(
         cutoff = 10 * jnp.finfo(dtype).eps
 
     def func(eigs):
-        return jnp.where(abs(eigs) > cutoff, 1 / eigs, 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(np.abs(eigs) > cutoff, 1 / eigs, 0)
 
     t = transform(
         func,

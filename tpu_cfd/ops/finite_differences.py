@@ -121,7 +121,8 @@ def laplacian_matrix(n: int, step: float, dtype=None) -> Array:
     column[1] = column[-1] = 1 / step**2
     idx = (n - np.arange(n)[:, None] + np.arange(n)[None, :]) % n
     lap = column[idx]
-    return jnp.asarray(lap, dtype=dtype)
+    # host numpy on purpose: setup constant consumed by the eigendecomposition
+    return lap.astype(dtype) if dtype is not None else lap
 
 
 def _laplacian_boundary_dirichlet_cell_centered(
@@ -141,7 +142,7 @@ def _laplacian_boundary_dirichlet_cell_centered(
     # remove the periodic wrap-around couplings
     lap[0, -1] = 0.0
     lap[-1, 0] = 0.0
-    laplacians[axis] = jnp.asarray(lap)
+    laplacians[axis] = lap
     return laplacians
 
 
@@ -160,7 +161,7 @@ def _laplacian_boundary_neumann_cell_centered(
         lap[-1, -1] += 1 / h2
     lap[0, -1] = 0.0
     lap[-1, 0] = 0.0
-    laplacians[axis] = jnp.asarray(lap)
+    laplacians[axis] = lap
     return laplacians
 
 

@@ -116,7 +116,10 @@ def vorticity_to_velocity(
 
     Reference spectral.py:87-118 (Yin, Clercx & Montgomery 2004 approach).
     """
-    kx, ky = rfft_mesh if rfft_mesh is not None else grid.rfft_mesh()
+    if rfft_mesh is not None:
+        kx, ky = rfft_mesh
+    else:
+        kx, ky = grid.rfft_mesh(dtype=jnp.real(w_hat).dtype)
     assert kx.shape[-2:] == w_hat.shape[-2:]
     laplace = spectral_laplacian_2d((kx, ky))
     psi_hat = -1 / laplace * w_hat

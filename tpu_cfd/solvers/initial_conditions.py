@@ -83,7 +83,9 @@ def streamfunc_normalize(k: Array, psi: Array) -> Array:
     nx, ny = psi.shape[-2:]
     psih = jnp.fft.fft2(psi)
     uh_mag = k * psih
-    kinetic_energy = (2 * jnp.abs(uh_mag) ** 2 / (nx * ny) ** 2).sum()
+    # python-float normalizer: (nx*ny)**2 overflows int32 at 256^2 and above
+    norm = 2.0 / float(nx * ny) ** 2
+    kinetic_energy = (norm * jnp.abs(uh_mag) ** 2).sum()
     return psi / jnp.sqrt(kinetic_energy)
 
 

@@ -1,0 +1,255 @@
+"""Trajectory rollout and standalone spectral kernels (CN-IMEX, residual).
+
+TPU-native counterpart of the reference's ``fno/data_gen/solvers.py``
+(backdiff: solvers.py:19, update_residual: :49, imex_crank_nicolson_step:
+:91, get_trajectory_imex: :191, get_trajectory_imex_crank_nicolson: :268).
+
+The reference's Python recording loop becomes a single ``lax.scan`` whose
+carry is the spectral state and whose outputs are the thinned records
+(vorticity/stream/∂t-vorticity/residual), so an entire batched trajectory is
+one compiled program. These kernels are also differentiable and are reused by
+the fine-tuning pipeline (SURVEY.md §3.4: fine-tuning differentiates through
+the same CN solver used for data generation).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_cfd import grids
+from tpu_cfd.ops.spectral import vorticity_to_velocity
+from tpu_cfd.solvers.equations import ImplicitExplicitODE
+
+Array = jax.Array
+
+_BDF_WEIGHTS = {
+    1: [1, -1],
+    2: [3 / 2, -2, 0.5],
+    3: [11 / 6, -3, 3 / 2, -1 / 3],
+    4: [25 / 12, -4, 3, -4 / 3, 1 / 4],
+    5: [137 / 60, -5, 5, -10 / 3, 5 / 4, -1 / 5],
+}
+
+
+def backdiff(x: Array, order: int = 3) -> Array:
+    """BDF(order) backward difference over the last axis (solvers.py:19)."""
+    if order > 5:
+        raise NotImplementedError("only bdf order <= 5 is implemented")
+    weights = jnp.asarray(_BDF_WEIGHTS[order], dtype=x.real.dtype)
+    x_t = jnp.flip(x[..., -(order + 1):], axis=-1) * weights
+    return x_t.sum(-1)
+
+
+def default_rfft_mesh(n: int, diam: float = 1.0, dtype=jnp.float32):
+    k = jnp.fft.fftfreq(n, d=diam / n).astype(dtype)
+    kx, ky = jnp.meshgrid(k, k, indexing="ij")
+    k_max = n // 2
+    return kx[..., : k_max + 1], ky[..., : k_max + 1]
+
+
+def spectral_laplacian_guarded(rfftmesh) -> Array:
+    kx, ky = rfftmesh
+    lap = -4 * (jnp.pi**2) * (kx**2 + ky**2)
+    return lap.at[..., 0, 0].set(1.0)
+
+
+def default_dealias_filter(kx: Array, ky: Array, n: int) -> Array:
+    """Boolean 2/3-rule mask used by the CN kernels (solvers.py:143-147)."""
+    k_max = n // 2
+    return jnp.logical_and(
+        jnp.abs(ky) <= (2.0 / 3.0) * k_max,
+        jnp.abs(kx) <= (2.0 / 3.0) * k_max,
+    )
+
+
+def update_residual(
+    w_h: Array,
+    w_h_t: Array,
+    f_h: Array,
+    visc: float,
+    rfftmesh: Tuple[Array, Array],
+    laplacian: Array,
+    dealias_filter: Optional[Array] = None,
+    dealias: bool = True,
+) -> Array:
+    """NSE residual in rfft2 space: ŵ_t + (v·∇w)^ - ν Δ̂ ŵ - f̂ (solvers.py:49).
+
+    Shapes: (..., n, n//2+1); differentiable (used as a fine-tuning loss term).
+    """
+    n = w_h.shape[-2]
+    irfft2 = partial(jnp.fft.irfft2, s=(n, n))
+    kx, ky = rfftmesh
+    psi_h = -w_h / laplacian
+
+    u = 2 * jnp.pi * ky * 1j * psi_h
+    v = -2.0 * jnp.pi * kx * 1j * psi_h
+    w_x = 2.0 * jnp.pi * kx * 1j * w_h
+    w_y = 2.0 * jnp.pi * ky * 1j * w_h
+
+    u, v, w_x, w_y = (irfft2(z) for z in (u, v, w_x, w_y))
+    convection_h = jnp.fft.rfft2(u * w_x + v * w_y)
+    if dealias and dealias_filter is not None:
+        convection_h = dealias_filter * convection_h
+    return w_h_t + convection_h - visc * laplacian * w_h - f_h
+
+
+def imex_crank_nicolson_step(
+    w: Array,
+    f: Array,
+    visc: float,
+    delta_t: float,
+    diam: float = 1.0,
+    rfftmesh: Optional[Tuple[Array, Array]] = None,
+    laplacian: Optional[Array] = None,
+    dealias_filter: Optional[Array] = None,
+    dealias: bool = False,
+) -> Tuple[Array, Array, Array, Array, Array]:
+    """One Crank-Nicolson IMEX update in rfft2 space (solvers.py:91-188).
+
+    Inputs/outputs in the frequency domain, shapes (..., n, n//2+1).
+
+    Returns (w_next, dw/dt, w, ψ̂, residual).
+    """
+    size = w.shape
+    assert (size[-1] - 1) * 2 == size[-2], "input must be an rfft2 spectrum"
+    n = size[-2]
+
+    if rfftmesh is None:
+        rfftmesh = default_rfft_mesh(n, diam, dtype=w.real.dtype)
+    kx, ky = rfftmesh
+
+    if laplacian is None:
+        laplacian = spectral_laplacian_guarded((kx, ky))
+    if dealias_filter is None:
+        dealias_filter = default_dealias_filter(kx, ky, n)
+
+    psi_h = -w / laplacian
+    u = 2 * jnp.pi * ky * 1j * psi_h
+    v = -2.0 * jnp.pi * kx * 1j * psi_h
+    w_x = 2.0 * jnp.pi * kx * 1j * w
+    w_y = 2.0 * jnp.pi * ky * 1j * w
+
+    irfft2 = partial(jnp.fft.irfft2, s=(n, n))
+    u, v, w_x, w_y = (irfft2(z) for z in (u, v, w_x, w_y))
+    convection_h = jnp.fft.rfft2(u * w_x + v * w_y)
+    if dealias:
+        convection_h = dealias_filter * convection_h
+
+    w_next = (
+        -delta_t * convection_h
+        + delta_t * f
+        + (1.0 + 0.5 * delta_t * visc * laplacian) * w
+    ) / (1.0 - 0.5 * delta_t * visc * laplacian)
+
+    dwdt = (w_next - w) / delta_t
+    res_h = dwdt + convection_h - visc * laplacian * w - f
+    return w_next, dwdt, w, psi_h, res_h
+
+
+def get_trajectory_imex(
+    equation: ImplicitExplicitODE,
+    w0: Array,
+    dt: float,
+    num_steps: int = 1,
+    record_every_steps: int = 1,
+) -> Dict[str, Array]:
+    """Rolls out ``equation`` from ŵ0 and records thinned spectral snapshots.
+
+    Counterpart of reference solvers.py:191-265, with the Python loop replaced
+    by one ``lax.scan``: the first record lands after 1 step and subsequent
+    records land every ``record_every_steps`` (matching the reference's
+    ``t_step % record_every_steps == 0`` schedule). All inputs/outputs stay in
+    the frequency domain; time is stacked on axis -3.
+
+    Returns dict(vorticity, stream, vort_t, residual), each
+    ``(..., n_records, kx, ky)``.
+    """
+    num_records = -(-num_steps // record_every_steps)  # ceil
+
+    def record(w, dwdt):
+        _, psi = vorticity_to_velocity(equation.grid, w)
+        res = equation.residual(w, dwdt)
+        return w, psi, dwdt, res
+
+    # first record: one step in
+    w1, dwdt1 = equation.forward(w0, dt, steps=1)
+    rec0 = record(w1, dwdt1)
+
+    def chunk(w, _):
+        w_next, dwdt = equation.forward(w, dt, steps=record_every_steps)
+        return w_next, record(w_next, dwdt)
+
+    if num_records > 1:
+        _, recs = jax.lax.scan(chunk, w1, None, length=num_records - 1)
+        stacked = tuple(
+            jnp.concatenate([r0[None], rs], axis=0) for r0, rs in zip(rec0, recs)
+        )
+    else:
+        stacked = tuple(r0[None] for r0 in rec0)
+
+    # scan stacks time on the leading axis; move it to -3 (reference layout)
+    out = tuple(jnp.moveaxis(s, 0, -3) for s in stacked)
+    return dict(zip(["vorticity", "stream", "vort_t", "residual"], out))
+
+
+def get_trajectory_imex_crank_nicolson(
+    w0: Array,
+    f: Array,
+    visc: float = 1e-3,
+    T: float = 10.0,
+    delta_t: float = 1e-3,
+    record_steps: int = 100,
+    diam: float = 1.0,
+    dealias: bool = True,
+    subsample: int = 1,
+) -> Dict[str, Array]:
+    """Self-contained CN-IMEX rollout (legacy path, solvers.py:268-448).
+
+    ``w0``/``f`` are physical-space fields (..., n, n); outputs are
+    physical-space records with time on axis -3.
+    """
+    n = w0.shape[-1]
+    total_steps = math.ceil(T / delta_t)
+    record_every = max(1, total_steps // record_steps)
+
+    w_h = jnp.fft.rfft2(w0)
+    f_h = jnp.fft.rfft2(f.astype(w0.dtype))
+    rfftmesh = default_rfft_mesh(n, diam, dtype=w0.dtype)
+    laplacian = spectral_laplacian_guarded(rfftmesh)
+    dealias_filter = default_dealias_filter(*rfftmesh, n)
+
+    step_fn = partial(
+        imex_crank_nicolson_step,
+        f=f_h,
+        visc=visc,
+        delta_t=delta_t,
+        rfftmesh=rfftmesh,
+        laplacian=laplacian,
+        dealias_filter=dealias_filter,
+        dealias=dealias,
+    )
+
+    def inner(w, _):
+        w_next, *_ = step_fn(w)
+        return w_next, None
+
+    def chunk(w, _):
+        w, _ = jax.lax.scan(inner, w, None, length=record_every - 1)
+        w_next, dwdt, _, psi_h, res_h = step_fn(w)
+        sl = (Ellipsis, slice(None, None, subsample), slice(None, None, subsample))
+        rec = (
+            jnp.fft.irfft2(w_next, s=(n, n))[sl],
+            jnp.fft.irfft2(psi_h, s=(n, n))[sl],
+            jnp.fft.irfft2(dwdt, s=(n, n))[sl],
+            jnp.fft.irfft2(res_h, s=(n, n))[sl],
+        )
+        return w_next, rec
+
+    _, recs = jax.lax.scan(chunk, w_h, None, length=record_steps)
+    out = tuple(jnp.moveaxis(r, 0, -3) for r in recs)
+    return dict(zip(["vorticity", "stream", "vort_t", "residual"], out))
