@@ -1,0 +1,263 @@
+"""Tests for data generation, datasets, training pipeline, and diagnostics."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_cfd.data import data_utils
+from tpu_cfd.data.datasets import (
+    SpatialGaussianNormalizer,
+    SpatioTemporalDataset,
+    UnitGaussianNormalizer,
+)
+from tpu_cfd.data.grf import GRF2d
+from tpu_cfd.utils.visualizations import get_enstrophy_spectrum
+
+
+class TestGRF:
+    def test_shapes_and_mean_zero(self):
+        grf = GRF2d(n=64, alpha=2.5, tau=7.0)
+        out = grf.sample(jax.random.PRNGKey(0), bsz=4)
+        assert out.shape == (4, 64, 64)
+        # mean-zero by construction (zero mode removed)
+        np.testing.assert_allclose(out.mean(axis=(-2, -1)), 0.0, atol=1e-4)
+
+    def test_smoothness_scaling(self):
+        """Larger alpha gives smoother fields (less high-frequency energy)."""
+        key = jax.random.PRNGKey(0)
+        rough = GRF2d(n=64, alpha=1.5, tau=7.0).sample(key)[0]
+        smooth = GRF2d(n=64, alpha=3.5, tau=7.0).sample(key)[0]
+
+        def hf_fraction(x):
+            xh = np.abs(np.fft.fft2(np.asarray(x))) ** 2
+            k = np.fft.fftfreq(64) * 64
+            kx, ky = np.meshgrid(k, k, indexing="ij")
+            hf = (np.abs(kx) > 16) | (np.abs(ky) > 16)
+            return xh[hf].sum() / xh.sum()
+
+        assert hf_fraction(rough) > 10 * hf_fraction(smooth)
+
+    def test_normalize(self):
+        grf = GRF2d(n=32, normalize=True)
+        out = grf.sample(jax.random.PRNGKey(1), bsz=2)
+        norms = jnp.linalg.norm(out / 32, axis=(-2, -1))
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+    def test_deterministic_per_key(self):
+        key = jax.random.PRNGKey(2)
+        grf = GRF2d(n=32, alpha=2.5, tau=7.0)
+        a = grf.sample(key)
+        b = grf.sample(key)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_replicable_init_physical_downsample(self):
+        """The reference's replicable-init: sample at a max mesh, downsample
+        in PHYSICAL space (data_gen_fno.py:197-204) — resolutions correlate."""
+        key = jax.random.PRNGKey(2)
+        grf = GRF2d(n=128, alpha=2.5, tau=7.0)
+        hi = grf.sample(key, n=128)[0]
+        lo = jax.image.resize(hi, (32, 32), method="nearest")
+        lo_direct = hi[::4, ::4]
+        corr = np.corrcoef(
+            np.asarray(lo).ravel(), np.asarray(lo_direct).ravel()
+        )[0, 1]
+        assert corr > 0.95, corr
+
+    def test_smoothing_mode_shape(self):
+        grf = GRF2d(n=32, alpha=2.5, tau=7.0, smoothing=True, max_mesh_size=64)
+        out = grf.sample(jax.random.PRNGKey(3), bsz=2)
+        assert out.shape == (2, 32, 32)
+        assert bool(jnp.isfinite(out).all())
+
+
+class TestNormalizers:
+    def test_unit_gaussian_roundtrip(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(2.0, 3.0, size=(16, 8, 8)).astype(np.float32)
+        norm = UnitGaussianNormalizer()
+        xt = norm.fit_transform(x)
+        assert abs(xt.mean()) < 1e-5
+        back = norm.inverse_transform(norm.transform(x))
+        np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-4)
+
+    def test_resolution_alignment(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(16, 8, 8)).astype(np.float32)
+        norm = UnitGaussianNormalizer()
+        norm.fit_transform(x)
+        hi = rng.normal(size=(4, 16, 16)).astype(np.float32)
+        out = norm.inverse_transform(hi, align_shapes=True)
+        assert out.shape == hi.shape
+
+    def test_spatial_normalizer(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(16, 8, 8, 5)).astype(np.float32)
+        norm = SpatialGaussianNormalizer()
+        xt = norm.fit_transform(x)
+        assert norm.mean.shape == (8, 8, 1)
+        assert abs(xt.mean()) < 1e-5
+
+    def test_save_load(self, tmp_path):
+        x = np.random.default_rng(0).normal(size=(8, 4, 4)).astype(np.float32)
+        norm = UnitGaussianNormalizer()
+        norm.fit_transform(x)
+        p = tmp_path / "norm.npz"
+        norm.save(p)
+        norm2 = UnitGaussianNormalizer.load(p)
+        np.testing.assert_array_equal(norm.mean, norm2.mean)
+
+
+def _make_traj_npz(tmp_path, n_samples=6, T=12, n=16):
+    rng = np.random.default_rng(0)
+    data = {
+        "vorticity": rng.normal(size=(n_samples, T, n, n)).astype(np.float32),
+        "stream": rng.normal(size=(n_samples, T, n, n)).astype(np.float32),
+    }
+    path = tmp_path / "traj.npz"
+    np.savez(path, **data)
+    return path, data
+
+
+class TestSpatioTemporalDataset:
+    def test_window_sampling(self, tmp_path):
+        path, data = _make_traj_npz(tmp_path)
+        ds = SpatioTemporalDataset(path, n_samples=4, steps=3, out_steps=2)
+        inp, out = ds.sample(np.array([0, 1]), np.random.default_rng(0))
+        assert inp["vorticity"].shape == (2, 16, 16, 3)
+        assert out["vorticity"].shape == (2, 16, 16, 2)
+        # output window follows the input window
+        assert out["time_steps"][0] == inp["time_steps"][-1] + 1
+
+    def test_fixed_start(self, tmp_path):
+        path, data = _make_traj_npz(tmp_path)
+        ds = SpatioTemporalDataset(path, n_samples=4, steps=3, T_start=2)
+        inp, _ = ds.sample(np.array([1]))
+        np.testing.assert_array_equal(
+            inp["vorticity"][0, ..., 0], data["vorticity"][1, 2]
+        )
+
+    def test_batches_cover_epoch(self, tmp_path):
+        path, _ = _make_traj_npz(tmp_path)
+        ds = SpatioTemporalDataset(path, n_samples=6, steps=3, out_steps=2)
+        batches = list(ds.batches(2, np.random.default_rng(0)))
+        assert len(batches) == 3
+
+
+class TestIncrementalIO:
+    def test_parts_roundtrip_and_resume(self, tmp_path):
+        path = tmp_path / "data.npz"
+        batch = {
+            "vorticity": np.ones((2, 3, 4, 4), np.float32),
+            "random_states": np.array([0, 1], np.int32),
+        }
+        data_utils.save_part(batch, path)
+        batch2 = {
+            "vorticity": 2 * np.ones((2, 3, 4, 4), np.float32),
+            "random_states": np.array([2, 3], np.int32),
+        }
+        data_utils.save_part(batch2, path)
+        assert data_utils.count_existing_samples(path) == 4
+        data_utils.merge_parts(path)
+        with np.load(path) as z:
+            assert z["vorticity"].shape == (4, 3, 4, 4)
+            np.testing.assert_array_equal(z["random_states"], [0, 1, 2, 3])
+        # resume: existing final file + new part must merge without loss
+        batch3 = {
+            "vorticity": 3 * np.ones((1, 3, 4, 4), np.float32),
+            "random_states": np.array([4], np.int32),
+        }
+        data_utils.save_part(batch3, path)
+        assert data_utils.count_existing_samples(path) == 5
+        data_utils.merge_parts(path)
+        with np.load(path) as z:
+            np.testing.assert_array_equal(z["random_states"], [0, 1, 2, 3, 4])
+
+    def test_parse_diam(self):
+        assert data_utils.parse_diam("2pi") == pytest.approx(2 * np.pi)
+        assert data_utils.parse_diam(1.5) == 1.5
+        assert data_utils.parse_diam("pi") == pytest.approx(np.pi)
+        with pytest.raises(ValueError):
+            data_utils.parse_diam("os.system('x')")
+
+
+class TestEnstrophySpectrum:
+    def test_single_mode_lands_in_right_shell(self):
+        n = 64
+        h = 2 * np.pi / n
+        x, y = np.meshgrid(
+            np.arange(n) * h, np.arange(n) * h, indexing="ij"
+        )
+        w = np.sin(5 * x)  # pure k=5 mode
+        E = get_enstrophy_spectrum(w, h)
+        assert E.argmax() + 1 == 5  # k array starts at 1
+
+    def test_mcwilliams_inverse_cascade_shape(self):
+        """Physics contract (SURVEY.md §4): solver output must reproduce the
+        decaying-spectrum shape: peak at low k, monotone-ish decay, orders of
+        magnitude between peak and tail."""
+        from tpu_cfd import grids
+        from tpu_cfd.solvers import equations, initial_conditions as ic
+
+        n = 128
+        grid = grids.Grid((n, n), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        w0 = ic.vorticity_field(jax.random.PRNGKey(0), grid, peak_wavenumber=4).data
+        ns = equations.NavierStokes2DSpectral(viscosity=1e-3, grid=grid)
+        what, _ = ns.forward(jnp.fft.rfft2(w0), 1e-3, steps=500)
+        w = np.asarray(jnp.fft.irfft2(what, s=(n, n)))
+        E = get_enstrophy_spectrum(w, 2 * np.pi / n)
+        k_peak = E.argmax() + 1
+        assert k_peak <= 8, k_peak  # energy at large scales
+        tail = E[40:50].mean()
+        assert E.max() > 1e3 * max(tail, 1e-300)
+
+
+class TestTrainingPipeline:
+    def test_train_loop_decreases_loss(self, tmp_path):
+        from tpu_cfd.models import SFNO
+        from tpu_cfd.train import losses, pipeline
+
+        path, _ = _make_traj_npz(tmp_path, n_samples=4, T=12, n=16)
+        ds = SpatioTemporalDataset(path, n_samples=4, steps=4, out_steps=4)
+        model = SFNO(
+            modes_x=4, modes_y=4, modes_t=2, width=8,
+            latent_steps=4, num_spectral_layers=2, output_steps=4,
+        )
+        rng = np.random.default_rng(0)
+        inp, _ = ds.sample(np.arange(2), rng)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(inp["vorticity"]))
+        sched = pipeline.onecycle_lr(1e-3, steps_per_epoch=2, epochs=4)
+        opt = pipeline.get_optimizer("Adam", sched, grad_clip=1.0)
+        opt_state = opt.init(params)
+        loss_fn = losses.SobolevLoss(n_grid=16, norm_order=0, relative=True)
+        step = pipeline.make_train_step(model, loss_fn, opt)
+        first = last = None
+        for ep in range(4):
+            for inp, out in ds.batches(2, rng):
+                params, opt_state, l = step(
+                    params, opt_state,
+                    jnp.asarray(inp["vorticity"]), jnp.asarray(out["vorticity"]),
+                )
+                if first is None:
+                    first = float(l)
+                last = float(l)
+        assert last < first
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        from tpu_cfd.models import SFNO
+        from tpu_cfd.train import pipeline
+
+        model = SFNO(modes_x=4, modes_y=4, modes_t=2, width=8,
+                     latent_steps=4, num_spectral_layers=2)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 6))
+        )
+        path = tmp_path / "ckpt"
+        pipeline.save_checkpoint(params, path)
+        restored = pipeline.load_checkpoint(path, target=params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

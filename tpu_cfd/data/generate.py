@@ -1,0 +1,312 @@
+"""Turbulence dataset generation: McWilliams2d, Kolmogorov2d, and FNO data.
+
+TPU-native counterpart of the reference's three data-gen CLIs
+(``fno/data_gen/data_gen_McWilliams2d.py`` main :27,
+``data_gen_Kolmogorov2d.py`` main :28, ``data_gen_fno.py`` main :28). The
+per-batch pipeline — initial condition → warmup → recorded rollout →
+inverse FFT → subsample — is ONE jitted program per batch: the warmup is a
+``lax.scan``, the recording rollout is ``trajectories.get_trajectory_imex``,
+and subsampling is strided slicing of the spectral reconstruction, so the
+host only sees one transfer per batch. NaN/divergence guards run host-side
+on the recorded snapshots (the jit-safe equivalent of the reference's raise
+in solvers.py:389-391).
+
+Usage (mirrors the reference's flags):
+  python -m tpu_cfd.data.generate mcwilliams --grid-size 256 --subsample 4 \
+      --num-samples 1152 --batch-size 128 --visc 1e-3 --time 10 \
+      --time-warmup 4.5 --dt 1e-3 --num-steps 100
+  python -m tpu_cfd.data.generate kolmogorov ...
+  python -m tpu_cfd.data.generate fno --alpha 2.5 --tau 7 ...
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from datetime import datetime
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_cfd import grids
+from tpu_cfd.data import data_utils
+from tpu_cfd.data.grf import GRF2d
+from tpu_cfd.solvers import equations, forcings, initial_conditions as ic
+from tpu_cfd.solvers import trajectories
+from tpu_cfd.solvers.equations import (
+    IMEXStepper,
+    NavierStokes2DSpectral,
+    RK4CrankNicolsonStepper,
+)
+
+
+def _subsample_field(x: jax.Array, ns: int) -> jax.Array:
+    """Bilinear downsample of (..., n, n) fields to (..., ns, ns)."""
+    if x.shape[-1] == ns:
+        return x
+    out_shape = (*x.shape[:-2], ns, ns)
+    return jax.image.resize(x, out_shape, method="bilinear")
+
+
+def make_batch_pipeline(
+    ns2d: NavierStokes2DSpectral,
+    dt: float,
+    warmup_steps: int,
+    total_steps: int,
+    record_every: int,
+    ns: int,
+):
+    """Returns a jitted fn: ŵ0 batch -> physical-space records dict."""
+
+    def pipeline(vort_hat: jax.Array) -> Dict[str, jax.Array]:
+        if warmup_steps > 0:
+            vort_hat, _ = ns2d.forward(vort_hat, dt, steps=warmup_steps)
+        result = trajectories.get_trajectory_imex(
+            ns2d,
+            vort_hat,
+            dt,
+            num_steps=total_steps,
+            record_every_steps=record_every,
+        )
+        n = ns2d.grid.shape[-1]
+        out = {}
+        for field, value in result.items():
+            value = jnp.fft.irfft2(value, s=(n, n))
+            out[field] = _subsample_field(value, ns)
+        return out
+
+    return jax.jit(pipeline)
+
+
+def run_generation(
+    args,
+    make_initial_vorticity,
+    forcing_fn=None,
+    solver=None,
+    logger=None,
+    example_name: str = "ns2d",
+):
+    """Shared batch-generation driver (resume-aware, incremental saves)."""
+    n = args.grid_size
+    subsample = args.subsample
+    ns = n // subsample
+    diam = data_utils.parse_diam(args.diam)
+    visc = args.visc if args.Re is None else 1.0 / args.Re
+    T, T_warmup, dt = args.time, args.time_warmup, args.dt
+    record_steps = args.num_steps
+    warmup_steps = int(T_warmup / dt)
+    total_steps = int((T - T_warmup) / dt)
+    record_every = max(1, total_steps // record_steps)
+    save_dtype = np.float64 if args.double else np.float32
+
+    filepath = args.filepath or data_utils.DATA_PATH
+    os.makedirs(filepath, exist_ok=True)
+    if args.filename is None:
+        extra = "_extra" if args.extra_vars else ""
+        dtype_str = "_fp64" if args.double else ""
+        args.filename = (
+            f"{example_name}{extra}{dtype_str}_{ns}x{ns}_N{args.num_samples}"
+            f"_v{visc:.0e}_T{int(T)}_steps{record_steps}.npz"
+        ).replace("e-0", "e-")
+    data_filepath = os.path.join(filepath, args.filename)
+
+    logger = logger or data_utils.get_logger()
+    logger.info(" | ".join(f"{k}={v}" for k, v in vars(args).items()))
+
+    existing = 0
+    if os.path.exists(data_filepath) and not args.force_rerun:
+        existing = data_utils.count_existing_samples(data_filepath)
+        if existing >= args.num_samples:
+            logger.info(f"{data_filepath} already has {existing} samples; done.")
+            return data_filepath
+    elif args.force_rerun and os.path.exists(data_filepath):
+        os.remove(data_filepath)
+    existing = max(existing, data_utils.count_existing_samples(data_filepath))
+    if existing >= args.num_samples:
+        data_utils.merge_parts(data_filepath)
+        return data_filepath
+
+    grid = grids.Grid((n, n), domain=((0, diam), (0, diam)))
+    ns2d = NavierStokes2DSpectral(
+        viscosity=visc,
+        grid=grid,
+        drag=args.gamma,
+        smooth=not args.no_dealias,
+        forcing_fn=forcing_fn,
+        solver=solver or RK4CrankNicolsonStepper(),
+    )
+    pipeline = make_batch_pipeline(
+        ns2d, dt, warmup_steps, total_steps, record_every, ns
+    )
+    # jit the IC construction too: eager op chains dispatch one tiny program
+    # per op, which is both slow over the device tunnel and flaky
+    make_ic_jit = jax.jit(lambda keys: make_initial_vorticity(keys, grid))
+
+    base_key = jax.random.PRNGKey(args.seed)
+    batch_size = args.batch_size
+    todo = args.num_samples - existing
+    num_batches = math.ceil(todo / batch_size)
+    logger.info(
+        f"Generating {todo} samples in {num_batches} batches "
+        f"(resuming from {existing}) -> {data_filepath}"
+    )
+
+    for b in range(num_batches):
+        idx0 = existing + b * batch_size
+        sample_ids = np.arange(idx0, min(idx0 + batch_size, args.num_samples))
+        keys = jnp.stack([jax.random.fold_in(base_key, int(i)) for i in sample_ids])
+        logger.info(
+            f"batch [{b + 1}/{num_batches}] samples {sample_ids[0]}..{sample_ids[-1]}"
+        )
+        vort_init = make_ic_jit(keys)
+        vort_hat = jnp.fft.rfft2(vort_init)
+        result = pipeline(vort_hat)
+        result = {k: np.asarray(v, dtype=save_dtype) for k, v in result.items()}
+
+        # divergence guard (host-side, after the compiled rollout)
+        w = result["vorticity"]
+        if not np.isfinite(w).all():
+            raise FloatingPointError(
+                f"trajectory diverged in batch {b} (samples {sample_ids[0]}..)"
+            )
+        vort_norm = np.linalg.norm(w[:, -1], axis=(-2, -1)).mean() / ns
+        logger.info(
+            f"  final-snapshot vorticity ell2 {vort_norm:.4e} | "
+            f"shapes {w.shape}"
+        )
+
+        if not args.extra_vars:
+            for key in ("vort_t", "stream", "residual"):
+                result[key] = np.empty((len(sample_ids), 0), dtype=save_dtype)
+        result["random_states"] = np.asarray(sample_ids, dtype=np.int32)
+        data_utils.save_part(result, data_filepath)
+
+    data_utils.merge_parts(data_filepath)
+    logger.info(f"Done: {data_filepath}")
+    if args.demo_plots:
+        try:
+            out = data_utils.verify_trajectories(
+                data_filepath,
+                dt=record_every * dt,
+                T_warmup=T_warmup,
+                n_samples=1,
+            )
+            logger.info(f"verification plot: {out}")
+        except Exception as e:  # plotting must never kill a finished run
+            logger.error(f"Error in plotting: {e}")
+    return data_filepath
+
+
+def main_mcwilliams(argv=None):
+    """Decaying isotropic turbulence, McWilliams-1984 initial condition.
+
+    Counterpart of reference data_gen_McWilliams2d.py:27-191.
+    """
+    parser = data_utils.get_args_ns2d(
+        "Generate NSE 2d decaying turbulence with McWilliams initial vorticity"
+    )
+    parser.set_defaults(time=10.0, time_warmup=4.5, dt=1e-3, num_steps=100,
+                        diam=2 * math.pi, forcing="none")
+    args = parser.parse_args(argv)
+
+    def make_ic(keys, grid):
+        return jax.vmap(
+            lambda k: ic.vorticity_field(k, grid, args.peak_wavenumber).data
+        )(keys)
+
+    return run_generation(
+        args, make_ic, forcing_fn=None, example_name="McWilliams2d",
+    )
+
+
+def main_kolmogorov(argv=None):
+    """Forced Kolmogorov flow with drag 0.1 (reference data_gen_Kolmogorov2d.py)."""
+    parser = data_utils.get_args_ns2d("Generate NSE 2d Kolmogorov flow")
+    parser.set_defaults(
+        time=10.0, time_warmup=4.5, dt=1e-3, num_steps=100,
+        diam=2 * math.pi, gamma=0.1, max_velocity=5.0,
+    )
+    args = parser.parse_args(argv)
+    diam = data_utils.parse_diam(args.diam)
+    n = args.grid_size
+    grid = grids.Grid((n, n), domain=((0, diam), (0, diam)))
+    forcing = forcings.KolmogorovForcing(
+        grid=grid, scale=args.scale, wave_number=args.peak_wavenumber,
+        diam=diam, vorticity=False,
+    )
+
+    def make_ic(keys, grid):
+        # IC = curl of a filtered divergence-free velocity field
+        from tpu_cfd.ops import finite_differences as fdm
+
+        def one(k):
+            v = ic.filtered_velocity_field(
+                k, grid, maximum_velocity=args.max_velocity,
+                peak_wavenumber=args.peak_wavenumber,
+            )
+            return fdm.curl_2d(v).data
+
+        return jax.vmap(one)(keys)
+
+    return run_generation(
+        args, make_ic, forcing_fn=forcing, example_name="Kolmogorov2d",
+    )
+
+
+def main_fno(argv=None):
+    """FNO-paper dataset: GRF IC + SinCos forcing, IMEX order 2.
+
+    Counterpart of reference data_gen_fno.py:28-273.
+    """
+    parser = data_utils.get_args_ns2d("Generate the original FNO data for NSE in 2D")
+    parser.set_defaults(
+        time=50.0, time_warmup=30.0, dt=1e-3, num_steps=100,
+        diam=1.0, scale=0.1, alpha=2.5, tau=7.0, peak_wavenumber=1,
+    )
+    args = parser.parse_args(argv)
+    diam = data_utils.parse_diam(args.diam)
+    n = args.grid_size
+    grid = grids.Grid((n, n), domain=((0, diam), (0, diam)))
+    forcing = forcings.SinCosForcing(
+        grid=grid, scale=args.scale, diam=diam,
+        wave_number=args.peak_wavenumber, vorticity=True,
+    )
+    grf = GRF2d(
+        n=n, alpha=args.alpha, tau=args.tau, normalize=args.normalize,
+        smoothing=args.replicable_init,
+    )
+
+    def make_ic(keys, grid):
+        samples = jax.vmap(lambda k: grf.sample(k, bsz=1, n=n)[0])(keys)
+        return samples
+
+    return run_generation(
+        args,
+        make_ic,
+        forcing_fn=forcing,
+        solver=IMEXStepper(order=2),
+        example_name="fnodata",
+    )
+
+
+_MAINS = {
+    "mcwilliams": main_mcwilliams,
+    "kolmogorov": main_kolmogorov,
+    "fno": main_fno,
+}
+
+
+def main():
+    if len(sys.argv) < 2 or sys.argv[1] not in _MAINS:
+        print(f"usage: python -m tpu_cfd.data.generate {{{'|'.join(_MAINS)}}} [flags]")
+        raise SystemExit(2)
+    dataset = sys.argv[1]
+    return _MAINS[dataset](sys.argv[2:])
+
+
+if __name__ == "__main__":
+    main()

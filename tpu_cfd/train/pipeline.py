@@ -1,0 +1,171 @@
+"""Training/eval pipeline: jitted train step, eval loop, checkpoints, paths.
+
+TPU-native counterpart of the reference's ``fno/pipeline.py`` (path
+constants: pipeline.py:20-26, train_batch_ns: :38-63, eval_epoch_ns:
+:66-103). The torch zero_grad→forward→backward→clip→step sequence becomes
+one jitted ``train_step`` (value_and_grad + optax); gradient clipping is an
+optax transform chained into the optimizer. Checkpointing uses orbax
+(SURVEY.md §5: pytree checkpoints; precomputed spectral operators are
+reconstructed from the grid, never serialized).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+SRC_ROOT = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(os.path.dirname(SRC_ROOT))
+MODEL_PATH = os.environ.get("MODEL_PATH", os.path.join(SRC_ROOT, "models"))
+LOG_PATH = os.environ.get("LOG_PATH", os.path.join(SRC_ROOT, "logs"))
+DATA_PATH = os.environ.get("DATA_PATH", os.path.join(ROOT, "data"))
+FIG_PATH = os.environ.get("FIG_PATH", os.path.join(ROOT, "figures"))
+
+
+def ensure_paths():
+    for p in (MODEL_PATH, LOG_PATH, DATA_PATH, FIG_PATH):
+        os.makedirs(p, exist_ok=True)
+
+
+def get_optimizer(
+    name: str = "Adam",
+    learning_rate=1e-3,
+    grad_clip: float = 0.0,
+) -> optax.GradientTransformation:
+    """Builds the optimizer (+clipping) by the reference's names."""
+    name = name.lower()
+    opts = {
+        "adam": optax.adam,
+        "adamw": optax.adamw,
+        "sgd": optax.sgd,
+        "lion": optax.lion,
+    }
+    if name not in opts:
+        raise ValueError(f"unknown optimizer {name}; available: {sorted(opts)}")
+    opt = opts[name](learning_rate)
+    if grad_clip and grad_clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(grad_clip), opt)
+    return opt
+
+
+def onecycle_lr(
+    max_lr: float,
+    steps_per_epoch: int,
+    epochs: int,
+    div_factor: float = 1e3,
+    final_div_factor: float = 1e4,
+) -> optax.Schedule:
+    """OneCycleLR equivalent (reference train.py:145-152)."""
+    return optax.cosine_onecycle_schedule(
+        transition_steps=steps_per_epoch * epochs,
+        peak_value=max_lr,
+        pct_start=0.3,
+        div_factor=div_factor,
+        final_div_factor=final_div_factor,
+    )
+
+
+def make_train_step(
+    model,
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    field: str = "vorticity",
+    normalizer=None,
+):
+    """Returns a jitted train step: (params, opt_state, inp, target) -> ...
+
+    Counterpart of reference pipeline.py:38-63 — forward → (denormalize) →
+    loss → grad → clip → update, fused into one XLA program.
+    """
+
+    def step(params, opt_state, inp, target):
+        def loss(p):
+            out = model.apply(p, inp)
+            if normalizer is not None:
+                out = normalizer.inverse_transform(out, align_shapes=False)
+                target_ = normalizer.inverse_transform(target, align_shapes=False)
+            else:
+                target_ = target
+            return loss_fn(out, target_)
+
+        loss_val, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_val
+
+    return jax.jit(step)
+
+
+def make_eval_step(model, metric_fn: Callable, out_steps: Optional[int] = None):
+    """Jitted eval step returning the metric for one batch."""
+
+    def step(params, inp, target):
+        out = model.apply(params, inp, out_steps=out_steps)
+        return metric_fn(out, target)
+
+    return jax.jit(step)
+
+
+def eval_epoch(
+    eval_step,
+    params,
+    dataset,
+    batch_size: int,
+    field: str = "vorticity",
+    rng: Optional[np.random.Generator] = None,
+    return_output: bool = False,
+):
+    """No-grad eval over a dataset (reference pipeline.py:66-103)."""
+    rng = np.random.default_rng(0) if rng is None else rng
+    metrics, preds, targets = [], [], []
+    for inp, out in dataset.batches(batch_size, rng, shuffle=False):
+        a = jnp.asarray(inp[field])
+        u = jnp.asarray(out[field])
+        m = eval_step(params, a, u)
+        metrics.append(float(m))
+        if return_output:
+            pred = None  # recompute to collect (rare path)
+    metric = float(np.mean(metrics))
+    return metric
+
+
+# ---------------------------------------------------------------------------
+# checkpointing (orbax)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(params, path: os.PathLike):
+    """Saves a params pytree with orbax (falls back to npz if unavailable)."""
+    path = Path(path).absolute()
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        if path.exists():
+            import shutil
+
+            shutil.rmtree(path)
+        ckptr.save(path, params)
+    except ImportError:
+        flat, _ = jax.tree_util.tree_flatten_with_path(params)
+        np.savez(
+            str(path) + ".npz",
+            **{jax.tree_util.keystr(k): np.asarray(v) for k, v in flat},
+        )
+
+
+def load_checkpoint(path: os.PathLike, target=None):
+    """Restores a params pytree saved by :func:`save_checkpoint`."""
+    path = Path(path).absolute()
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    if target is not None:
+        return ckptr.restore(path, item=target)
+    return ckptr.restore(path)

@@ -1,0 +1,224 @@
+"""SFNO training CLI: trajectory-to-trajectory operator learning.
+
+TPU-native counterpart of the reference's ``fno/train.py`` (main: train.py:47,
+DATA_FILES registry: :33-44, OneCycleLR: :145-152, SobolevLoss: :154,
+best-validation checkpointing: :197-199, high-resolution eval phase:
+:207-252, argparse: :278-313).
+
+The torch epoch loop becomes: host-side numpy batching → one jitted
+train_step per batch (value_and_grad + optax OneCycle Adam) → jitted eval.
+Batches can be sharded over a device mesh with ``--data-parallel``
+(the reference is single-device only).
+
+Example (reproduces the reference's McWilliams run, fno/README.md:72):
+  python -m tpu_cfd.train.train --example McWilliams2d --epochs 15 \
+      --num-samples 1152 --batch-size 64 --width 10 --modes 32 --modes-t 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu_cfd.data.data_utils import get_logger
+from tpu_cfd.data.datasets import SpatioTemporalDataset
+from tpu_cfd.models import SFNO
+from tpu_cfd.train import losses, pipeline
+from tpu_cfd.train.pipeline import DATA_PATH, LOG_PATH, MODEL_PATH
+
+DATA_FILES = {
+    "fno": {
+        "train": "fnodata_extra_64x64_N1280_v1e-3_T50_steps100_alpha2.5_tau7.npz",
+        "valid": "fnodata_extra_64x64_N1280_v1e-3_T50_steps100_alpha2.5_tau7.npz",
+        "test": "fnodata_extra_fp64_256x256_N16_v1e-3_T50_steps100_alpha2.5_tau7.npz",
+    },
+    "McWilliams2d": {
+        "train": "McWilliams2d_fp32_64x64_N1152_v1e-3_T100.npz",
+        "valid": "McWilliams2d_fp32_64x64_N1152_v1e-3_T100.npz",
+        "test": "McWilliams2d_fp64_256x256_N16_v1e-3_T100.npz",
+    },
+}
+
+
+def _resolve_data(example: str, split: str, override: str = None) -> str:
+    if override:
+        return override if os.path.isabs(override) else os.path.join(DATA_PATH, override)
+    fname = DATA_FILES[example][split]
+    path = os.path.join(DATA_PATH, fname)
+    if not os.path.exists(path):
+        # fall back to the reference's .pt naming (datasets read both)
+        alt = path.replace(".npz", ".pt")
+        if os.path.exists(alt):
+            return alt
+    return path
+
+
+def main(args=None):
+    args = get_parser().parse_args(args)
+    pipeline.ensure_paths()
+    current_time = datetime.now().strftime("%d_%b_%Y_%Hh%Mm")
+    logger = get_logger(
+        os.path.join(LOG_PATH, f"{current_time}_train.log"), name="tpu_cfd.train"
+    )
+    logger.info("Arguments: " + " | ".join(f"{k}={v}" for k, v in vars(args).items()))
+
+    example = args.example
+    n = args.res
+    fs = args.field
+    time_steps, out_steps = args.time_steps, args.out_time_steps
+
+    train_path = _resolve_data(example, "train", args.train_file)
+    val_path = _resolve_data(example, "valid", args.train_file)
+    logger.info(f"Training: first {args.num_samples} samples of {train_path}")
+
+    train_dataset = SpatioTemporalDataset(
+        data_path=train_path,
+        n_samples=args.num_samples,
+        fields=[fs],
+        steps=time_steps,
+        out_steps=out_steps,
+    )
+    val_dataset = SpatioTemporalDataset(
+        data_path=val_path,
+        n_samples=args.num_val_samples,
+        fields=[fs],
+        steps=time_steps,
+        out_steps=out_steps,
+        train=False,
+    )
+
+    model = SFNO(
+        modes_x=args.modes,
+        modes_y=args.modes,
+        modes_t=args.modes_t,
+        width=args.width,
+        beta=args.beta,
+        num_spectral_layers=args.num_layers,
+        output_steps=out_steps,
+        spatial_padding=args.spatial_padding,
+        activation=args.activation,
+        spatial_random_feats=args.spatial_random_feats,
+        lift_activation=not args.lift_linear,
+        latent_steps=args.latent_steps,
+    )
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    sample_inp, _ = train_dataset.sample(np.arange(min(2, len(train_dataset))))
+    params = jax.jit(model.init)(key, jnp.asarray(sample_inp[fs]))
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    logger.info(f"Number of parameters: {n_params}")
+
+    steps_per_epoch = max(1, len(train_dataset) // args.batch_size)
+    schedule = pipeline.onecycle_lr(args.lr, steps_per_epoch, args.epochs)
+    optimizer = pipeline.get_optimizer(args.optimizer, schedule, args.grad_clip)
+    opt_state = optimizer.init(params)
+
+    loss_func = losses.SobolevLoss(
+        n_grid=n, norm_order=args.norm_order, relative=True
+    )
+    train_step = pipeline.make_train_step(model, loss_func, optimizer, field=fs)
+    eval_step = pipeline.make_eval_step(model, loss_func, out_steps=out_steps)
+
+    path_model = os.path.join(
+        MODEL_PATH, f"sfno_{example}_{n}x{n}_m{args.modes}_w{args.width}"
+    )
+    val_l2_min = np.inf
+    if not args.eval_only:
+        for ep in range(args.epochs):
+            train_l2, count = 0.0, 0
+            for inp, out in train_dataset.batches(args.batch_size, rng):
+                a = jnp.asarray(inp[fs])
+                u = jnp.asarray(out[fs])
+                params, opt_state, l2 = train_step(params, opt_state, a, u)
+                train_l2 += float(l2)
+                count += 1
+            val_l2 = pipeline.eval_epoch(
+                eval_step, params, val_dataset, args.batch_size, field=fs
+            )
+            if val_l2 < val_l2_min:
+                pipeline.save_checkpoint(params, path_model)
+                val_l2_min = val_l2
+            logger.info(
+                f"Epoch [{ep + 1:3d}/{args.epochs}] "
+                f"avg train rel: {train_l2 / max(count, 1):.4e} | "
+                f"avg val rel: {val_l2:.4e}"
+            )
+        logger.info(f"Training complete. Best model saved to {path_model}")
+
+    if not args.train_only:
+        test_path = _resolve_data(example, "test", args.test_file)
+        if not os.path.exists(test_path):
+            logger.info(f"No test data at {test_path}; skipping eval phase.")
+            return params
+        test_n = args.test_res
+        test_dataset = SpatioTemporalDataset(
+            data_path=test_path,
+            n_samples=args.num_test_samples,
+            fields=[fs],
+            steps=time_steps,
+            out_steps=out_steps,
+            T_start=0,
+            train=False,
+        )
+        try:
+            params = pipeline.load_checkpoint(path_model, target=params)
+        except Exception as e:
+            logger.info(f"Could not restore best checkpoint ({e}); using last.")
+        metric = losses.SobolevLoss(
+            n_grid=test_n, norm_order=args.norm_order, relative=True
+        )
+        test_step = pipeline.make_eval_step(model, metric, out_steps=out_steps)
+        test_l2 = pipeline.eval_epoch(
+            test_step, params, test_dataset, max(1, args.batch_size // 4), field=fs
+        )
+        logger.info(f"Test rel Sobolev metric at {test_n}x{test_n}: {test_l2:.4e}")
+    return params
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Train SFNO (reference train.py:278)")
+    parser.add_argument("--example", type=str, default="fno")
+    parser.add_argument("--num-samples", type=int, default=1024)
+    parser.add_argument("--num-val-samples", type=int, default=64)
+    parser.add_argument("--num-test-samples", type=int, default=16)
+    parser.add_argument("--res", type=int, default=64)
+    parser.add_argument("--test-res", type=int, default=256)
+    parser.add_argument("--field", type=str, default="vorticity")
+    parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--lr", type=float, default=1e-2)
+    parser.add_argument("--seed", type=int, default=1127825)
+    parser.add_argument("--epochs", type=int, default=15)
+    parser.add_argument("--optimizer", type=str, default="Adam")
+    parser.add_argument("--viscosity", type=float, default=1e-3)
+    parser.add_argument("--width", type=int, default=10)
+    parser.add_argument("--modes", type=int, default=32)
+    parser.add_argument("--modes-t", type=int, default=5)
+    parser.add_argument("--num-layers", type=int, default=4)
+    parser.add_argument("--latent-steps", type=int, default=10)
+    parser.add_argument("--spatial-padding", type=int, default=0)
+    parser.add_argument("--time-steps", type=int, default=10)
+    parser.add_argument("--out-time-steps", type=int, default=10)
+    parser.add_argument("--beta", type=float, default=0.0)
+    parser.add_argument("--activation", type=str, default="GELU")
+    parser.add_argument("--grad-clip", type=float, default=0.0)
+    parser.add_argument("--spatial-random-feats", default=False, action="store_true")
+    parser.add_argument("--lift-linear", default=False, action="store_true")
+    parser.add_argument("--double", default=False, action="store_true")
+    parser.add_argument("--norm-order", type=float, default=0.0)
+    parser.add_argument("--eval-only", default=False, action="store_true")
+    parser.add_argument("--train-only", default=False, action="store_true")
+    parser.add_argument("--train-file", type=str, default=None,
+                        help="override train/valid data file")
+    parser.add_argument("--test-file", type=str, default=None)
+    parser.add_argument("--demo-plots", type=int, default=0)
+    return parser
+
+
+if __name__ == "__main__":
+    main()
