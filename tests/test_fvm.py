@@ -273,3 +273,38 @@ class TestNavierStokesFVM:
         assert (
             float(jnp.abs(w_fvm - w_spectral).max()) / scale < 0.05
         ), "FVM and spectral vorticity fields diverged on a smooth flow"
+
+
+class TestDirectVanLeer:
+    def test_matches_limiter_version_on_smooth_field(self):
+        grid = grids.Grid((64, 64), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        x, y = grid.mesh(dtype=jnp.float64)
+        bc = boundaries.periodic_boundary_conditions(2)
+        c = grids.GridVariable(
+            grids.GridArray(jnp.sin(x) * jnp.cos(y), (0.5, 0.5), grid), bc
+        )
+        v = periodic_velocity(
+            grid,
+            [0.7 * jnp.ones(grid.shape, jnp.float64),
+             -0.3 * jnp.ones(grid.shape, jnp.float64)],
+        )
+        direct = fvm.advect_van_leer(c, v, dt=1e-3)
+        limited = fvm.advect_van_leer_using_limiters(c, v, dt=1e-3)
+        rel = float(
+            jnp.linalg.norm(direct.data - limited.data)
+            / jnp.linalg.norm(limited.data)
+        )
+        assert rel < 0.05, rel
+
+    def test_conserves_mean(self):
+        grid = grids.Grid((32, 32), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        x, y = grid.mesh(dtype=jnp.float64)
+        bc = boundaries.periodic_boundary_conditions(2)
+        c = grids.GridVariable(
+            grids.GridArray(jnp.exp(jnp.cos(x + y)), (0.5, 0.5), grid), bc
+        )
+        v = periodic_velocity(
+            grid, [jnp.ones(grid.shape, jnp.float64), jnp.ones(grid.shape, jnp.float64)]
+        )
+        dcdt = fvm.advect_van_leer(c, v, dt=1e-3)
+        assert abs(float(dcdt.data.mean())) < 1e-12

@@ -105,6 +105,60 @@ def advect_van_leer_using_limiters(
     return advect_general(c, v, interpolation.linear, c_interpolation_fn, dt)
 
 
+def advect_van_leer(
+    c: GridVariable, v: GridVariableVector, dt: float
+) -> GridArray:
+    """Direct Van Leer flux-limited advection (one fused flux assembly).
+
+    Counterpart of reference fvm.py:434-580 (marked "NOT YET IMPLEMENTED in
+    Jax_CFD original" and unused there). Periodic BCs only: computes the
+    upwind flux plus the Van Leer limiter correction
+    ``phi = num*(sign(den)+sign(num))*den/(|den|+|num|)`` directly per face,
+    then takes -div. Branchless, division-safe, differentiable.
+    """
+    if not boundaries.has_all_periodic_boundary_conditions(c):
+        raise NotImplementedError("advect_van_leer supports periodic BCs only")
+    offsets = grids.control_volume_offsets(c)
+    aligned_v = tuple(
+        interpolation.linear(u, offset) for u, offset in zip(v, offsets)
+    )
+    flux_bc = tuple(
+        boundaries.get_advection_flux_bc_from_velocity_and_scalar(u, c, d)
+        for d, u in enumerate(v)
+    )
+    fluxes = []
+    for axis, (u, h) in enumerate(zip(aligned_v, c.grid.step)):
+        c_center = c.data
+        c_right = c.shift(+1, axis).data
+        c_left = c.shift(-1, axis).data
+        c_left_left = c.shift(-2, axis).data
+        upwind = jnp.where(u.data > 0, u.data * c_center, u.data * c_right)
+
+        numerator = jnp.where(
+            u.data > 0, c_left - c_left_left, c_right - c_center
+        )
+        denominator = c_center - c_left
+        safe_den = jnp.where(
+            jnp.abs(denominator) > 0,
+            jnp.abs(denominator) + jnp.abs(numerator),
+            1.0,
+        )
+        phi_van_leer = (
+            numerator
+            * (jnp.sign(denominator) + jnp.sign(numerator))
+            * denominator
+            / safe_den
+        )
+        courant = (dt / h) * jnp.abs(u.data)
+        flux_correction = 0.5 * (1 - courant) * jnp.abs(u.data) * phi_van_leer
+        data = upwind + flux_correction
+        fluxes.append(GridArray(data, u.offset, c.grid))
+    flux = GridVariableVector(
+        tuple(bc.impose_bc(f) for bc, f in zip(flux_bc, fluxes))
+    )
+    return -fdm.divergence(flux)
+
+
 def convect(v: GridVariableVector, dt: float) -> GridArrayVector:
     """Self-advection of each velocity component (reference fvm.py:147)."""
     return GridArrayVector(

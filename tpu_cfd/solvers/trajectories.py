@@ -82,16 +82,18 @@ def update_residual(
     Shapes: (..., n, n//2+1); differentiable (used as a fine-tuning loss term).
     """
     n = w_h.shape[-2]
-    irfft2 = partial(jnp.fft.irfft2, s=(n, n))
     kx, ky = rfftmesh
     psi_h = -w_h / laplacian
 
-    u = 2 * jnp.pi * ky * 1j * psi_h
-    v = -2.0 * jnp.pi * kx * 1j * psi_h
-    w_x = 2.0 * jnp.pi * kx * 1j * w_h
-    w_y = 2.0 * jnp.pi * ky * 1j * w_h
-
-    u, v, w_x, w_y = (irfft2(z) for z in (u, v, w_x, w_y))
+    specs = jnp.stack(
+        [
+            2 * jnp.pi * ky * 1j * psi_h,
+            -2.0 * jnp.pi * kx * 1j * psi_h,
+            2.0 * jnp.pi * kx * 1j * w_h,
+            2.0 * jnp.pi * ky * 1j * w_h,
+        ]
+    )
+    u, v, w_x, w_y = jnp.fft.irfft2(specs, s=(n, n))
     convection_h = jnp.fft.rfft2(u * w_x + v * w_y)
     if dealias and dealias_filter is not None:
         convection_h = dealias_filter * convection_h
@@ -129,13 +131,15 @@ def imex_crank_nicolson_step(
         dealias_filter = default_dealias_filter(kx, ky, n)
 
     psi_h = -w / laplacian
-    u = 2 * jnp.pi * ky * 1j * psi_h
-    v = -2.0 * jnp.pi * kx * 1j * psi_h
-    w_x = 2.0 * jnp.pi * kx * 1j * w
-    w_y = 2.0 * jnp.pi * ky * 1j * w
-
-    irfft2 = partial(jnp.fft.irfft2, s=(n, n))
-    u, v, w_x, w_y = (irfft2(z) for z in (u, v, w_x, w_y))
+    specs = jnp.stack(
+        [
+            2 * jnp.pi * ky * 1j * psi_h,
+            -2.0 * jnp.pi * kx * 1j * psi_h,
+            2.0 * jnp.pi * kx * 1j * w,
+            2.0 * jnp.pi * ky * 1j * w,
+        ]
+    )
+    u, v, w_x, w_y = jnp.fft.irfft2(specs, s=(n, n))
     convection_h = jnp.fft.rfft2(u * w_x + v * w_y)
     if dealias:
         convection_h = dealias_filter * convection_h
