@@ -24,9 +24,7 @@ from __future__ import annotations
 import math
 import os
 import sys
-from datetime import datetime
-from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ Design deltas from the torch reference, chosen for the TPU/XLA:
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

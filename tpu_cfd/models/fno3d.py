@@ -12,7 +12,7 @@ channels-first transpose — 1×1 convs are Dense matmuls on the MXU.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -19,7 +19,7 @@ XLA constant-folds them); a new spatial size is simply a new trace.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,7 @@ shape, so a leading batch dimension (or ``vmap``) works unchanged.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Sequence, Union
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ XLA's all_to_all) — see ``shard_field_spatial``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ leading batch dims, so ``vmap``/``pjit`` batch sharding applies directly, and
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

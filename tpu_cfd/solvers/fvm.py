@@ -13,7 +13,7 @@ pressure solve.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

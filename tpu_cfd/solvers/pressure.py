@@ -15,7 +15,7 @@ tensordot rotations (walls) — both TPU-friendly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from tpu_cfd import grids
 from tpu_cfd.ops.spectral import vorticity_to_velocity
 from tpu_cfd.solvers.equations import ImplicitExplicitODE
 

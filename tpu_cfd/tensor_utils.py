@@ -8,7 +8,7 @@ are jit/vmap-safe for static slice arguments.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple, Union
+from typing import Any, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ with a single forward eval per step (reference README.md:20).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Dict, Optional, Tuple
 

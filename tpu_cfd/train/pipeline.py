@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -62,8 +62,13 @@ def onecycle_lr(
     final_div_factor: float = 1e4,
 ) -> optax.Schedule:
     """OneCycleLR equivalent (reference train.py:145-152)."""
+    total = steps_per_epoch * epochs
+    if total < 5:
+        # cosine_onecycle_schedule produces NaN when the phase boundaries
+        # collapse (tiny smoke runs); fall back to a constant lr
+        return optax.constant_schedule(max_lr)
     return optax.cosine_onecycle_schedule(
-        transition_steps=steps_per_epoch * epochs,
+        transition_steps=total,
         peak_value=max_lr,
         pct_start=0.3,
         div_factor=div_factor,

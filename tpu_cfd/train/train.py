@@ -61,6 +61,10 @@ def _resolve_data(example: str, split: str, override: str = None) -> str:
 
 def main(args=None):
     args = get_parser().parse_args(args)
+    if args.double:
+        # fp64 is a CPU-only path (TPUs have no fast float64); mirrors the
+        # reference's fp64 eval phase (train.py:207-209)
+        jax.config.update("jax_enable_x64", True)
     pipeline.ensure_paths()
     current_time = datetime.now().strftime("%d_%b_%Y_%Hh%Mm")
     logger = get_logger(

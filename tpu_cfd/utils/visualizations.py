@@ -131,3 +131,21 @@ def plot_contour_trajectory(
         ax.set_title(titles[j] if titles else f"t={t}", fontsize=9)
     fig.tight_layout()
     return fig, axes
+
+
+def plot_contour_plotly(field, colorscale: str = "RdBu", **layout_kwargs):
+    """Interactive contour via plotly (reference visualizations.py:29).
+
+    Gated: plotly is an optional dependency; raises a clear ImportError
+    when unavailable.
+    """
+    try:
+        import plotly.graph_objects as go
+    except ImportError as e:
+        raise ImportError(
+            "plotly is not installed; use plot_contour (matplotlib) instead"
+        ) from e
+    fig = go.Figure(data=go.Contour(z=np.asarray(field), colorscale=colorscale))
+    if layout_kwargs:
+        fig.update_layout(**layout_kwargs)
+    return fig
