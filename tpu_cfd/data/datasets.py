@@ -174,25 +174,40 @@ class SpatioTemporalDataset:
     def sample(
         self, idx: np.ndarray, rng: Optional[np.random.Generator] = None
     ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
-        """Slices input/output windows for a batch of sample indices."""
+        """Slices input/output windows for a batch of sample indices.
+
+        Window starts are drawn independently PER SAMPLE (the reference draws
+        one per __getitem__, datasets.py:431-453) — per-batch windows reduce
+        the effective data diversity and slow convergence measurably.
+        """
+        idx = np.atleast_1d(np.asarray(idx))
         window = self.out_steps + self.steps
         if self.T_start is None:
             rng = np.random.default_rng() if rng is None else rng
-            start = int(rng.integers(0, self.total_steps - (window + 1)))
+            starts = rng.integers(
+                0, self.total_steps - (window + 1), size=len(idx)
+            )
         else:
-            start = self.T_start
-        inp_slice = slice(start, start + self.steps)
-        out_slice = slice(start + self.steps, start + window)
+            starts = np.full(len(idx), self.T_start, dtype=np.int64)
+        inp_t = starts[:, None] + np.arange(self.steps)  # (b, steps)
+        out_t = starts[:, None] + self.steps + np.arange(self.out_steps)
+
+        def gather(arr, t_idx):
+            # arr: (b, n, n, T); t_idx: (b, steps) -> (b, n, n, steps)
+            return np.take_along_axis(
+                arr, t_idx[:, None, None, :], axis=-1
+            )
+
         inp = {
-            f: self.data[f][idx, ..., inp_slice].astype(self.dtype)
+            f: gather(self.data[f][idx], inp_t).astype(self.dtype)
             for f in self.fields
         }
         out = {
-            f: self.data[f][idx, ..., out_slice].astype(self.dtype)
+            f: gather(self.data[f][idx], out_t).astype(self.dtype)
             for f in self.fields
         }
-        inp["time_steps"] = np.arange(start, start + self.steps)
-        out["time_steps"] = np.arange(start + self.steps, start + window)
+        inp["time_steps"] = inp_t
+        out["time_steps"] = out_t
         return inp, out
 
     def batches(
