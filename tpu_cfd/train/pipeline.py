@@ -124,20 +124,20 @@ def eval_epoch(
     batch_size: int,
     field: str = "vorticity",
     rng: Optional[np.random.Generator] = None,
-    return_output: bool = False,
-):
+) -> float:
     """No-grad eval over a dataset (reference pipeline.py:66-103)."""
     rng = np.random.default_rng(0) if rng is None else rng
-    metrics, preds, targets = [], [], []
+    metrics = []
     for inp, out in dataset.batches(batch_size, rng, shuffle=False):
         a = jnp.asarray(inp[field])
         u = jnp.asarray(out[field])
-        m = eval_step(params, a, u)
-        metrics.append(float(m))
-        if return_output:
-            pred = None  # recompute to collect (rare path)
-    metric = float(np.mean(metrics))
-    return metric
+        metrics.append(float(eval_step(params, a, u)))
+    if not metrics:
+        raise ValueError(
+            f"eval dataset yielded no batches (n={len(dataset)}, "
+            f"batch_size={batch_size})"
+        )
+    return float(np.mean(metrics))
 
 
 # ---------------------------------------------------------------------------
