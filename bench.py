@@ -37,9 +37,10 @@ def main():
     what = jnp.fft.rfft2(w0)
 
     step = jax.jit(lambda w: ns.forward(w, 1e-3, steps=steps_per_call)[0])
-    # warmup/compile
+    checksum_fn = jax.jit(lambda w: jnp.abs(w).max())
+    # warmup/compile (including the checksum reduction)
     out = step(what)
-    jax.block_until_ready(out)
+    _ = float(checksum_fn(out))
 
     n_calls = 5
     t0 = time.perf_counter()
@@ -48,7 +49,7 @@ def main():
         w = step(w)
     # host fetch: forces completion even where block_until_ready is
     # unreliable (verified equal to block-based timing on this backend)
-    checksum = float(jnp.abs(w).max())
+    checksum = float(checksum_fn(w))
     dt = time.perf_counter() - t0
     assert jnp.isfinite(checksum)
 
