@@ -89,6 +89,12 @@ def run_generation(
     example_name: str = "ns2d",
 ):
     """Shared batch-generation driver (resume-aware, incremental saves)."""
+    if args.boundary != "periodic":
+        # the pseudo-spectral solver is periodic-only, as in the reference
+        # (README.md:62); the FVM stack supports walls but has no dataset CLI
+        raise NotImplementedError(
+            f"--boundary {args.boundary}: spectral data generation is periodic-only"
+        )
     n = args.grid_size
     subsample = args.subsample
     ns = n // subsample
