@@ -36,6 +36,11 @@ def make_mesh(
     """
     devices = jax.devices() if devices is None else list(devices)
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested n_devices={n_devices} but only {len(devices)}"
+                f" device(s) are available: {devices}"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if n % model_parallel != 0:
