@@ -98,28 +98,35 @@ class TestSpectralConvTParity:
 
 
 class TestSFNOEndToEndParity:
-    def test_full_model_matches(self):
+    @pytest.mark.parametrize("out_dim", [1, 2])
+    def test_full_model_matches(self, out_dim):
+        """Same params through SFNO(impl="dft") and SFNO(impl="fft") agree."""
         kwargs = dict(
             modes_x=4, modes_y=4, modes_t=2, width=8,
-            latent_steps=6, num_spectral_layers=2,
+            latent_steps=6, num_spectral_layers=2, out_dim=out_dim,
+            mxu_precision="highest",
         )
         v = jax.random.normal(KEY, (2, 16, 16, 8), dtype=jnp.float64)
-        model = SFNO(**kwargs)
-        params = model.init(KEY, v)
-        out_dft = model.apply(params, v)
+        model_dft = SFNO(**kwargs, impl="dft")
+        model_fft = SFNO(**kwargs, impl="fft")
+        params = model_fft.init(KEY, v)
+        out_fft = model_fft.apply(params, v)
+        out_dft = model_dft.apply(params, v)
+        np.testing.assert_allclose(out_dft, out_fft, atol=1e-9)
 
-        # monkeypatch default impl to fft for the comparison run
-        import tpu_cfd.models.base as base_mod
-
-        class FFTConvS(SpectralConvS):
-            impl: str = "fft"
-
-        # simplest: same params through modules with impl toggled via
-        # dataclasses.replace is not possible inside SFNO; instead check the
-        # building blocks above and here check finiteness + grad flow.
-        assert bool(jnp.isfinite(out_dft).all())
-        g = jax.grad(
-            lambda p: (model.apply(p, v) ** 2).mean()
-        )(params)
-        total = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
-        assert np.isfinite(total) and total > 0
+    def test_gradients_match(self):
+        """The two paths also agree through the backward pass."""
+        kwargs = dict(
+            modes_x=4, modes_y=4, modes_t=2, width=8,
+            latent_steps=6, num_spectral_layers=2, mxu_precision="highest",
+        )
+        v = jax.random.normal(KEY, (2, 16, 16, 8), dtype=jnp.float64)
+        model_dft = SFNO(**kwargs, impl="dft")
+        model_fft = SFNO(**kwargs, impl="fft")
+        params = model_fft.init(KEY, v)
+        g_fft = jax.grad(lambda p: (model_fft.apply(p, v) ** 2).mean())(params)
+        g_dft = jax.grad(lambda p: (model_dft.apply(p, v) ** 2).mean())(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_dft), jax.tree_util.tree_leaves(g_fft)
+        ):
+            np.testing.assert_allclose(a, b, atol=1e-9)

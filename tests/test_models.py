@@ -178,15 +178,34 @@ class TestSFNO:
         assert np.isfinite(gnorm) and gnorm > 0
 
     def test_vector_output_divergence_free(self):
-        """out_dim=2 velocity output goes through the Helmholtz projection."""
+        """out_dim=2 output is Helmholtz-projected through the full model.
+
+        The architecture guarantees the SPECTRAL part of the output is
+        divergence-free; the final skip adds the last input frame broadcast to
+        both components (reference sfno.py:326-327), which is not div-free for
+        a scalar input. So the contract is div(out - skip) ≈ 0.
+        """
+        n, diam = 32, 2 * jnp.pi
         model = SFNO(
             modes_x=4, modes_y=4, modes_t=2, width=8, out_dim=2,
-            latent_steps=6, num_spectral_layers=2, diam=2 * jnp.pi,
+            latent_steps=6, num_spectral_layers=2, diam=diam,
         )
-        v = jax.random.normal(KEY, (1, 32, 32, 8), dtype=jnp.float64)
+        v = jax.random.normal(KEY, (1, n, n, 8), dtype=jnp.float64)
         params = model.init(KEY, v)
         out = model.apply(params, v, out_steps=4)
-        assert out.shape == (1, 32, 32, 4, 2)
+        assert out.shape == (1, n, n, 4, 2)
+
+        proj = out - v[..., -1:, None]  # strip the broadcast skip
+        k = jnp.fft.fftfreq(n, d=diam / n)
+        kx = k[:, None, None]
+        ky = k[None, :, None]
+        uhat = jnp.fft.fft2(proj, axes=(1, 2))
+        div_hat = 2j * jnp.pi * (kx * uhat[..., 0] + ky * uhat[..., 1])
+        div = jnp.fft.ifft2(div_hat, axes=(1, 2)).real
+        scale = float(jnp.abs(proj).max())
+        assert float(jnp.abs(div).max()) < 1e-10 * max(scale, 1.0), (
+            float(jnp.abs(div).max()), scale,
+        )
 
 
 class TestFNO3d:

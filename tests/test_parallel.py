@@ -130,3 +130,52 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestTrainCLIDataParallel:
+    def _run(self, tmp_path, monkeypatch, extra):
+        from tpu_cfd.train import pipeline, train
+
+        for mod in (pipeline, train):
+            monkeypatch.setattr(mod, "MODEL_PATH", str(tmp_path / "models"))
+            monkeypatch.setattr(mod, "LOG_PATH", str(tmp_path / "logs"))
+        monkeypatch.setattr(pipeline, "DATA_PATH", str(tmp_path))
+        argv = [
+            "--train-file", str(tmp_path / "traj.npz"),
+            "--train-only", "--epochs", "2", "--batch-size", "8",
+            "--num-samples", "16", "--num-val-samples", "8",
+            "--res", "16", "--modes", "4", "--modes-t", "2", "--width", "8",
+            "--latent-steps", "4", "--num-layers", "2",
+            "--time-steps", "4", "--out-time-steps", "4", "--lr", "1e-3",
+        ] + extra
+        return train.main(argv)
+
+    def test_data_parallel_cli_equals_single_device(self, tmp_path, monkeypatch):
+        """--data-parallel over 8 CPU devices reproduces the 1-device run."""
+        n, T = 16, 12
+        rng = np.random.default_rng(0)
+        xg, yg = np.meshgrid(
+            np.linspace(0, 2 * np.pi, n, endpoint=False),
+            np.linspace(0, 2 * np.pi, n, endpoint=False),
+            indexing="ij",
+        )
+        trajs = [
+            [
+                np.sin(xg + 0.3 * t + rng.uniform(0, 2 * np.pi))
+                * np.cos(yg - 0.2 * t)
+                for t in range(T)
+            ]
+            for _ in range(16)
+        ]
+        np.savez(tmp_path / "traj.npz",
+                 vorticity=np.asarray(trajs, dtype=np.float32))
+
+        params_1dev = self._run(tmp_path, monkeypatch, [])
+        params_dp = self._run(tmp_path, monkeypatch, ["--data-parallel"])
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params_1dev),
+            jax.tree_util.tree_leaves(params_dp),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+            )

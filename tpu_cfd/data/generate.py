@@ -106,6 +106,14 @@ def run_generation(
     total_steps = int((T - T_warmup) / dt)
     record_every = max(1, total_steps // record_steps)
     save_dtype = np.float64 if args.double else np.float32
+    if args.double:
+        # fp64 solves run on CPU: TPUs support neither float64 math nor
+        # complex128 FFTs. Mirrors the reference, which generates its 256^2
+        # test trajectories in double precision (data_utils.py --double flag,
+        # train.py:208-209 fp64 eval defaults).
+        jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_platforms", "cpu")
+    compute_dtype = jnp.float64 if args.double else jnp.float32
 
     filepath = args.filepath or data_utils.DATA_PATH
     os.makedirs(filepath, exist_ok=True)
@@ -142,13 +150,16 @@ def run_generation(
         smooth=not args.no_dealias,
         forcing_fn=forcing_fn,
         solver=solver or RK4CrankNicolsonStepper(),
+        dtype=compute_dtype,
     )
     pipeline = make_batch_pipeline(
         ns2d, dt, warmup_steps, total_steps, record_every, ns
     )
     # jit the IC construction too: eager op chains dispatch one tiny program
     # per op, which is both slow over the device tunnel and flaky
-    make_ic_jit = jax.jit(lambda keys: make_initial_vorticity(keys, grid))
+    make_ic_jit = jax.jit(
+        lambda keys: make_initial_vorticity(keys, grid, compute_dtype)
+    )
 
     base_key = jax.random.PRNGKey(args.seed)
     batch_size = args.batch_size
@@ -217,9 +228,11 @@ def main_mcwilliams(argv=None):
                         diam=2 * math.pi, forcing="none")
     args = parser.parse_args(argv)
 
-    def make_ic(keys, grid):
+    def make_ic(keys, grid, dtype=jnp.float32):
         return jax.vmap(
-            lambda k: ic.vorticity_field(k, grid, args.peak_wavenumber).data
+            lambda k: ic.vorticity_field(
+                k, grid, args.peak_wavenumber, dtype=dtype
+            ).data
         )(keys)
 
     return run_generation(
@@ -243,14 +256,14 @@ def main_kolmogorov(argv=None):
         diam=diam, vorticity=False,
     )
 
-    def make_ic(keys, grid):
+    def make_ic(keys, grid, dtype=jnp.float32):
         # IC = curl of a filtered divergence-free velocity field
         from tpu_cfd.ops import finite_differences as fdm
 
         def one(k):
             v = ic.filtered_velocity_field(
                 k, grid, maximum_velocity=args.max_velocity,
-                peak_wavenumber=args.peak_wavenumber,
+                peak_wavenumber=args.peak_wavenumber, dtype=dtype,
             )
             return fdm.curl_2d(v).data
 
@@ -282,9 +295,11 @@ def main_fno(argv=None):
     grf = GRF2d(
         n=n, alpha=args.alpha, tau=args.tau, normalize=args.normalize,
         smoothing=args.replicable_init,
+        dtype=jnp.float64 if args.double else jnp.float32,
     )
 
-    def make_ic(keys, grid):
+    def make_ic(keys, grid, dtype=jnp.float32):
+        del dtype  # the GRF sampler above is already built at compute dtype
         samples = jax.vmap(lambda k: grf.sample(k, bsz=1, n=n)[0])(keys)
         return samples
 

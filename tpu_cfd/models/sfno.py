@@ -266,6 +266,7 @@ class LiftingOperator(nn.Module):
     channel_expansion: int = 4
     nonlinear: bool = True
     mxu_precision: str = "highest"
+    impl: str = "dft"
 
     @nn.compact
     def __call__(self, v: Array) -> Array:
@@ -292,6 +293,7 @@ class LiftingOperator(nn.Module):
             norm=self.norm,
             bias=False,
             mxu_precision=self.mxu_precision,
+            impl=self.impl,
         )
         w = sconv(v)
         if self.nonlinear:
@@ -324,6 +326,7 @@ class OutConv(nn.Module):
     temporal_padding: bool = True
     norm: str = "backward"
     mxu_precision: str = "highest"
+    impl: str = "dft"
 
     @nn.compact
     def __call__(self, v: Array, v_res: Array, out_steps: int) -> Array:
@@ -342,6 +345,7 @@ class OutConv(nn.Module):
             temporal_padding=self.temporal_padding,
             postprocess=postprocess,
             mxu_precision=self.mxu_precision,
+            impl=self.impl,
         )
         d = v.shape[-1]
         v_res = jnp.broadcast_to(v_res[..., None], (*v_res.shape, d))
@@ -390,6 +394,9 @@ class SFNO(nn.Module):
     # precision of the spectral-conv MXU matmuls; "high" costs ~6e-5 relative
     # error vs "highest" and is ~10% faster — fine for training
     mxu_precision: str = "high"
+    # spectral-conv implementation: "dft" (compact MXU matmuls, the fast
+    # path) or "fft" (rfftn/scatter/irfftn, the bit-parity reference path)
+    impl: str = "dft"
 
     @nn.compact
     def __call__(self, v: Array, out_steps: Optional[int] = None) -> Array:
@@ -413,6 +420,7 @@ class SFNO(nn.Module):
             channel_expansion=self.channel_expansion,
             nonlinear=self.lift_activation,
             mxu_precision=self.mxu_precision,
+            impl=self.impl,
         )(v)
 
         act = get_activation(self.activation)
@@ -423,6 +431,7 @@ class SFNO(nn.Module):
                 modes=(self.modes_x, self.modes_y, self.modes_t),
                 norm=self.fft_norm,
                 mxu_precision=self.mxu_precision,
+                impl=self.impl,
             )(v)
             x1 = PointwiseFFN(
                 self.width, self.channel_expansion * self.width, self.activation
@@ -443,5 +452,6 @@ class SFNO(nn.Module):
             norm=self.fft_norm,
             diam=self.diam,
             mxu_precision=self.mxu_precision,
+            impl=self.impl,
         )(v, v_res, out_steps=out_steps)
         return v

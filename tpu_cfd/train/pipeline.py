@@ -124,13 +124,18 @@ def eval_epoch(
     batch_size: int,
     field: str = "vorticity",
     rng: Optional[np.random.Generator] = None,
+    device_put: Callable = jnp.asarray,
 ) -> float:
-    """No-grad eval over a dataset (reference pipeline.py:66-103)."""
+    """No-grad eval over a dataset (reference pipeline.py:66-103).
+
+    ``device_put`` lets the caller shard eval batches over a mesh (the
+    train CLI passes its data-parallel placement function here).
+    """
     rng = np.random.default_rng(0) if rng is None else rng
     metrics = []
     for inp, out in dataset.batches(batch_size, rng, shuffle=False):
-        a = jnp.asarray(inp[field])
-        u = jnp.asarray(out[field])
+        a = device_put(inp[field])
+        u = device_put(out[field])
         metrics.append(float(eval_step(params, a, u)))
     if not metrics:
         raise ValueError(

@@ -32,16 +32,19 @@ from tpu_cfd.models import SFNO
 from tpu_cfd.train import losses, pipeline
 from tpu_cfd.train.pipeline import DATA_PATH, LOG_PATH, MODEL_PATH
 
+# Default dataset files as produced by ``python -m tpu_cfd.data.generate``
+# (counterpart of the reference's DATA_FILES registry, train.py:33-44; names
+# follow generate.py's own convention so the two CLIs compose out of the box)
 DATA_FILES = {
     "fno": {
-        "train": "fnodata_extra_64x64_N1280_v1e-3_T50_steps100_alpha2.5_tau7.npz",
-        "valid": "fnodata_extra_64x64_N1280_v1e-3_T50_steps100_alpha2.5_tau7.npz",
-        "test": "fnodata_extra_fp64_256x256_N16_v1e-3_T50_steps100_alpha2.5_tau7.npz",
+        "train": "fnodata_extra_64x64_N1280_v1e-3_T50_steps100.npz",
+        "valid": "fnodata_extra_64x64_N1280_v1e-3_T50_steps100.npz",
+        "test": "fnodata_extra_fp64_256x256_N16_v1e-3_T50_steps100.npz",
     },
     "McWilliams2d": {
-        "train": "McWilliams2d_fp32_64x64_N1152_v1e-3_T100.npz",
-        "valid": "McWilliams2d_fp32_64x64_N1152_v1e-3_T100.npz",
-        "test": "McWilliams2d_fp64_256x256_N16_v1e-3_T100.npz",
+        "train": "McWilliams2d_64x64_N1152_v1e-3_T10_steps100.npz",
+        "valid": "McWilliams2d_64x64_N1152_v1e-3_T10_steps100.npz",
+        "test": "McWilliams2d_fp64_256x256_N16_v1e-3_T10_steps100.npz",
     },
 }
 
@@ -118,6 +121,30 @@ def main(args=None):
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     logger.info(f"Number of parameters: {n_params}")
 
+    mesh = None
+    if args.data_parallel:
+        # Pure data parallelism over all local devices: batches shard on the
+        # "data" mesh axis, parameters are replicated, and XLA inserts the
+        # gradient all-reduce (psum over ICI). No reference counterpart —
+        # the reference is single-device only (SURVEY.md §2.4).
+        from tpu_cfd.parallel import make_mesh, replicate, shard_batch
+
+        n_dev = len(jax.devices())
+        if args.batch_size % n_dev != 0:
+            raise ValueError(
+                f"--data-parallel: batch size {args.batch_size} must be"
+                f" divisible by the device count {n_dev}"
+            )
+        mesh = make_mesh(model_parallel=1)
+        params = replicate(params, mesh)
+        logger.info(f"Data-parallel over {n_dev} devices: {mesh}")
+
+    def device_put_batch(x):
+        x = jnp.asarray(x)
+        if mesh is not None and x.shape[0] % mesh.shape["data"] == 0:
+            return shard_batch(x, mesh)
+        return x
+
     steps_per_epoch = max(1, len(train_dataset) // args.batch_size)
     schedule = pipeline.onecycle_lr(args.lr, steps_per_epoch, args.epochs)
     optimizer = pipeline.get_optimizer(args.optimizer, schedule, args.grad_clip)
@@ -126,7 +153,7 @@ def main(args=None):
     loss_func = losses.SobolevLoss(
         n_grid=n, norm_order=args.norm_order, relative=True
     )
-    train_step = pipeline.make_train_step(model, loss_func, optimizer, field=fs)
+    train_step = pipeline.make_train_step(model, loss_func, optimizer)
     eval_step = pipeline.make_eval_step(model, loss_func, out_steps=out_steps)
 
     path_model = os.path.join(
@@ -137,13 +164,14 @@ def main(args=None):
         for ep in range(args.epochs):
             train_l2, count = 0.0, 0
             for inp, out in train_dataset.batches(args.batch_size, rng):
-                a = jnp.asarray(inp[fs])
-                u = jnp.asarray(out[fs])
+                a = device_put_batch(inp[fs])
+                u = device_put_batch(out[fs])
                 params, opt_state, l2 = train_step(params, opt_state, a, u)
                 train_l2 += float(l2)
                 count += 1
             val_l2 = pipeline.eval_epoch(
-                eval_step, params, val_dataset, args.batch_size, field=fs
+                eval_step, params, val_dataset, args.batch_size, field=fs,
+                device_put=device_put_batch,
             )
             if val_l2 < val_l2_min:
                 pipeline.save_checkpoint(params, path_model)
@@ -182,7 +210,42 @@ def main(args=None):
             test_step, params, test_dataset, max(1, args.batch_size // 4), field=fs
         )
         logger.info(f"Test rel Sobolev metric at {test_n}x{test_n}: {test_l2:.4e}")
+        if args.demo_plots:
+            _save_demo_plots(
+                model, params, test_dataset, fs, out_steps, args.demo_plots,
+                example, test_n, logger,
+            )
     return params
+
+
+def _save_demo_plots(
+    model, params, dataset, field, out_steps, n_plots, example, n, logger
+):
+    """Prediction-vs-truth contour trajectories (reference train.py:254-275)."""
+    from tpu_cfd.train.pipeline import FIG_PATH
+    from tpu_cfd.utils import visualizations as viz
+
+    inp, out = dataset.sample(np.arange(min(n_plots, len(dataset))))
+    pred = model.apply(params, jnp.asarray(inp[field]), out_steps=out_steps)
+    pred = np.asarray(pred)
+    truth = np.asarray(out[field])
+    for i in range(pred.shape[0]):
+        for name, traj in (("pred", pred[i]), ("true", truth[i])):
+            # channels-last (x, y, t) -> (t, x, y) frames for the facet plot
+            frames = np.moveaxis(traj, -1, 0)
+            fig_path = os.path.join(
+                FIG_PATH, f"{example}_{n}x{n}_sample{i}_{name}.png"
+            )
+            try:
+                fig, _ = viz.plot_contour_trajectory(frames)
+                fig.savefig(fig_path)
+                import matplotlib.pyplot as plt
+
+                plt.close(fig)
+                logger.info(f"demo plot: {fig_path}")
+            except Exception as e:  # plotting must never fail a finished run
+                logger.error(f"demo plot failed: {e}")
+                return
 
 
 def get_parser() -> argparse.ArgumentParser:
@@ -220,7 +283,10 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--train-file", type=str, default=None,
                         help="override train/valid data file")
     parser.add_argument("--test-file", type=str, default=None)
-    parser.add_argument("--demo-plots", type=int, default=0)
+    parser.add_argument("--demo-plots", type=int, default=0,
+                        help="save N prediction-vs-truth contour plots after eval")
+    parser.add_argument("--data-parallel", default=False, action="store_true",
+                        help="shard batches over all local devices (data axis)")
     return parser
 
 
