@@ -195,3 +195,43 @@ class TestTrajectories:
         x = jnp.arange(10.0) ** 2
         # BDF1 of t^2 at t=9: x[9]-x[8] = 81-64 = 17
         assert float(trajectories.backdiff(x, order=1)) == pytest.approx(17.0)
+
+
+class TestChunkedTrajectory:
+    def test_chunked_equals_single_program(self):
+        """Chunked rollout reproduces get_trajectory_imex exactly."""
+        n, batch = 32, 2
+        grid = grids.Grid((n, n), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        ns = equations.NavierStokes2DSpectral(
+            viscosity=1e-3, grid=grid, dtype=jnp.float64
+        )
+        w0 = jax.random.normal(jax.random.PRNGKey(3), (batch, n, n), jnp.float64)
+        what = jnp.fft.rfft2(w0)
+        ref = trajectories.get_trajectory_imex(
+            ns, what, 1e-3, num_steps=20, record_every_steps=4
+        )
+        for rpc in (1, 2, 5):
+            out, w_final = trajectories.get_trajectory_imex_chunked(
+                ns, what, 1e-3, num_steps=20, record_every_steps=4,
+                records_per_chunk=rpc,
+            )
+            assert set(out) == set(ref)
+            for k in ref:
+                np.testing.assert_allclose(out[k], np.asarray(ref[k]),
+                                           rtol=1e-9, atol=1e-9)
+
+    def test_chunked_postprocess_and_fields(self):
+        n = 32
+        grid = grids.Grid((n, n), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        ns = equations.NavierStokes2DSpectral(viscosity=1e-3, grid=grid)
+        w0 = jax.random.normal(jax.random.PRNGKey(4), (2, n, n), jnp.float32)
+        post = lambda recs: {
+            k: jnp.fft.irfft2(v, s=(n, n)) for k, v in recs.items()
+        }
+        out, _ = trajectories.get_trajectory_imex_chunked(
+            ns, jnp.fft.rfft2(w0), 1e-3, num_steps=12, record_every_steps=3,
+            fields=("vorticity",), records_per_chunk=2, postprocess=post,
+        )
+        assert list(out) == ["vorticity"]
+        assert out["vorticity"].shape == (2, 4, n, n)
+        assert np.isfinite(out["vorticity"]).all()

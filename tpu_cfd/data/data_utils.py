@@ -100,6 +100,10 @@ def get_args_ns2d(desc: str = "NSE 2D data generation") -> argparse.ArgumentPars
     p.add_argument("--extra-vars", action="store_true", default=False,
                    help="store stream/vort_t/residual in addition to vorticity")
     p.add_argument("--force-rerun", action="store_true", default=False)
+    p.add_argument("--max-steps-per-program", type=int, default=2000,
+                   help="solver steps per compiled device program (the device"
+                        " tunnel kills programs running longer than a few"
+                        " minutes; also bounds per-program HBM)")
     p.add_argument("--replicable-init", action="store_true", default=False,
                    help="sample the GRF at the reference 2048^2 mesh then downsample")
     p.add_argument("--no-dealias", action="store_true", default=False)

@@ -57,27 +57,50 @@ def make_batch_pipeline(
     total_steps: int,
     record_every: int,
     ns: int,
+    fields=("vorticity",),
+    max_steps_per_program: int = 2000,
 ):
-    """Returns a jitted fn: ŵ0 batch -> physical-space records dict."""
+    """Returns a fn: ŵ0 batch -> physical-space records dict (host numpy).
 
-    def pipeline(vort_hat: jax.Array) -> Dict[str, jax.Array]:
-        if warmup_steps > 0:
-            vort_hat, _ = ns2d.forward(vort_hat, dt, steps=warmup_steps)
-        result = trajectories.get_trajectory_imex(
+    The warmup and recording rollout are split into compiled programs of at
+    most ``max_steps_per_program`` solver steps each: the device tunnel kills
+    single programs that run longer than a few minutes, and bounding the
+    program also bounds HBM (each program holds one chunk of records, already
+    irfft'd and subsampled in-program). ``fields`` limits what the rollout
+    records — vorticity-only runs keep 4× less than all four fields.
+    """
+    n = ns2d.grid.shape[-1]
+
+    def postprocess(recs):
+        return {
+            k: _subsample_field(jnp.fft.irfft2(v, s=(n, n)), ns)
+            for k, v in recs.items()
+        }
+
+    fwd = jax.jit(
+        lambda w, s: ns2d.forward(w, dt, steps=s)[0], static_argnums=1
+    )
+
+    def pipeline(vort_hat: jax.Array) -> Dict[str, np.ndarray]:
+        remaining = warmup_steps
+        while remaining > 0:  # at most 2 distinct sizes -> 2 compiles
+            s = min(max_steps_per_program, remaining)
+            vort_hat = fwd(vort_hat, s)
+            remaining -= s
+        records_per_chunk = max(1, max_steps_per_program // record_every)
+        result, _ = trajectories.get_trajectory_imex_chunked(
             ns2d,
             vort_hat,
             dt,
             num_steps=total_steps,
             record_every_steps=record_every,
+            fields=fields,
+            records_per_chunk=records_per_chunk,
+            postprocess=postprocess,
         )
-        n = ns2d.grid.shape[-1]
-        out = {}
-        for field, value in result.items():
-            value = jnp.fft.irfft2(value, s=(n, n))
-            out[field] = _subsample_field(value, ns)
-        return out
+        return result
 
-    return jax.jit(pipeline)
+    return pipeline
 
 
 def run_generation(
@@ -152,8 +175,14 @@ def run_generation(
         solver=solver or RK4CrankNicolsonStepper(),
         dtype=compute_dtype,
     )
+    fields = (
+        ("vorticity", "stream", "vort_t", "residual")
+        if args.extra_vars
+        else ("vorticity",)
+    )
     pipeline = make_batch_pipeline(
-        ns2d, dt, warmup_steps, total_steps, record_every, ns
+        ns2d, dt, warmup_steps, total_steps, record_every, ns, fields=fields,
+        max_steps_per_program=args.max_steps_per_program,
     )
     # jit the IC construction too: eager op chains dispatch one tiny program
     # per op, which is both slow over the device tunnel and flaky
