@@ -294,3 +294,33 @@ class TestLosses:
         w_rand = jax.random.normal(KEY, (1, n, n, nt), dtype=jnp.float64)
         val_rand = float(loss(w_rand))
         assert val < 0.1 * val_rand
+
+
+class TestLatentTapsAndDouble:
+    def test_apply_with_latents(self):
+        """Latent taps (reference add_latent_hook parity, base.py:330-345)."""
+        from tpu_cfd.models import apply_with_latents
+
+        model = SFNO(
+            modes_x=4, modes_y=4, modes_t=2, width=8,
+            latent_steps=6, num_spectral_layers=3,
+        )
+        v = jax.random.normal(KEY, (2, 16, 16, 8))
+        params = model.init(KEY, v)
+        out, latents = apply_with_latents(model, params, v)
+        np.testing.assert_allclose(out, model.apply(params, v), rtol=1e-6)
+        assert set(latents) == {"lifting", "spectral_0", "spectral_1", "r"}
+        assert latents["lifting"].shape == (2, 16, 16, 6, 8)
+        assert latents["r"].shape == (2, 16, 16, 6, 1)
+
+    def test_params_to_double(self):
+        from tpu_cfd.models import params_to_double
+
+        model = SFNO(modes_x=4, modes_y=4, modes_t=2, width=8,
+                     latent_steps=4, num_spectral_layers=2)
+        params = model.init(KEY, jnp.zeros((1, 16, 16, 6)))
+        p64 = params_to_double(params)
+        dtypes = {x.dtype for x in jax.tree_util.tree_leaves(p64)}
+        assert dtypes == {jnp.dtype(jnp.float64)}
+        out = model.apply(p64, jnp.zeros((1, 16, 16, 6), jnp.float64))
+        assert out.dtype == jnp.float64

@@ -235,3 +235,28 @@ class TestChunkedTrajectory:
         assert list(out) == ["vorticity"]
         assert out["vorticity"].shape == (2, 4, n, n)
         assert np.isfinite(out["vorticity"]).all()
+
+
+class TestLearnableStepperCoeffs:
+    def test_gradients_flow_through_coefficients(self):
+        """Trainable alpha/beta (reference equations.py:161-172 parity)."""
+        n = 16
+        grid = grids.Grid((n, n), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        ns = equations.NavierStokes2DSpectral(viscosity=1e-2, grid=grid)
+        stepper = equations.IMEXStepper(order=2)
+        w0 = jax.random.normal(jax.random.PRNGKey(5), (n, n), jnp.float32)
+        what = jnp.fft.rfft2(w0)
+
+        def loss(coeffs):
+            out = stepper.with_coeffs(coeffs)(what, 1e-2, ns)
+            return (jnp.abs(out) ** 2).mean()
+
+        coeffs = stepper.init_coeffs()
+        g = jax.jit(jax.grad(loss))(coeffs)
+        assert float(jnp.abs(g["alpha"])) > 0
+        assert float(jnp.abs(g["beta"])) > 0
+        # and the default coefficients reproduce the plain stepper
+        np.testing.assert_allclose(
+            stepper.with_coeffs(coeffs)(what, 1e-2, ns),
+            stepper(what, 1e-2, ns),
+        )

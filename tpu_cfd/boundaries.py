@@ -240,36 +240,42 @@ class ConstantBoundaryConditions:
         )
 
     def _trim_padding(self, u: GridArray, dim: int = 0, trim_side: str = "both"):
-        """Trims previously added padding, returning (array, padding_removed)."""
+        """Trims previously added padding, returning (array, padding_removed).
+
+        How much to cut on each side is read off the offset/shape metadata:
+        anything left of offset 0 is lower-side padding, anything past the
+        grid extent is upper-side padding; on-boundary points of non-periodic
+        edge-aligned fields are dependent values and get cut too.
+        """
         axis = _data_axis(u, dim)
-        negative_trim = 0
-        positive_trim = 0
-        if u.shape[axis] >= u.grid.shape[dim]:
-            if u.offset[dim] <= 0 and trim_side in ("both", "left"):
-                negative_trim = -math.ceil(-u.offset[dim])
-                if self.types[dim][0] == BCType.PERIODIC:
-                    negative_trim = max(
-                        negative_trim, u.grid.shape[dim] - u.shape[axis]
-                    )
-                elif math.isclose(u.offset[dim] % 1, 0):
-                    # for DIRICHLET/NEUMANN the value on domain[0] is dependent
-                    negative_trim -= 1
-                u = self._trim(u, negative_trim, dim)
-            if trim_side in ("both", "right"):
-                if self.types[dim][1] == BCType.PERIODIC:
-                    positive_trim = max(u.shape[axis] - u.grid.shape[dim], 0)
-                else:
-                    last_u_offset = u.shape[axis] + u.offset[dim] - 1
-                    boundary_offset = u.grid.shape[dim]
-                    if last_u_offset >= boundary_offset:
-                        positive_trim = math.ceil(last_u_offset - boundary_offset)
-                        if self.types[dim][1] == BCType.DIRICHLET and math.isclose(
-                            u.offset[dim] % 1, 0
-                        ):
-                            positive_trim += 1
-        if positive_trim > 0:
-            u = self._trim(u, positive_trim, dim)
-        return u, (-negative_trim, positive_trim)
+        lo_cut = 0
+        hi_cut = 0
+        if u.shape[axis] < u.grid.shape[dim]:
+            return u, (0, 0)  # interior-only data carries no padding
+        edge_aligned = math.isclose(u.offset[dim] % 1, 0)
+        if trim_side in ("both", "left") and u.offset[dim] <= 0:
+            # points strictly left of the domain are padding ...
+            lo_cut = -math.ceil(-u.offset[dim])
+            if self.types[dim][0] == BCType.PERIODIC:
+                lo_cut = max(lo_cut, u.grid.shape[dim] - u.shape[axis])
+            elif edge_aligned:
+                # ... and so is the boundary value itself under
+                # Dirichlet/Neumann (it is determined by the BC, not data)
+                lo_cut -= 1
+            u = self._trim(u, lo_cut, dim)
+        if trim_side in ("both", "right"):
+            if self.types[dim][1] == BCType.PERIODIC:
+                hi_cut = max(u.shape[axis] - u.grid.shape[dim], 0)
+            else:
+                # index (in offset units) of the last datum vs the far edge
+                last = u.shape[axis] + u.offset[dim] - 1
+                if last >= u.grid.shape[dim]:
+                    hi_cut = math.ceil(last - u.grid.shape[dim])
+                    if self.types[dim][1] == BCType.DIRICHLET and edge_aligned:
+                        hi_cut += 1
+        if hi_cut > 0:
+            u = self._trim(u, hi_cut, dim)
+        return u, (-lo_cut, hi_cut)
 
     def trim_boundary(self, u: GridArray) -> GridArray:
         """Removes grid points that coincide with the boundary (plus padding)."""
@@ -452,52 +458,49 @@ def get_advection_flux_bc_from_velocity_and_scalar(
     reference boundaries.py:531-623. The flux BC is only valid for taking a
     divergence.
     """
-    flux_bc_types = []
-    flux_bc_values = []
     if not isinstance(u.bc, HomogeneousBoundaryConditions):
         raise NotImplementedError(
-            f"Flux boundary condition is not implemented for velocity with {u.bc}"
+            "advection-flux BC inference requires homogeneous velocity BCs;"
+            f" got {u.bc}"
         )
+
+    def _side(axis: int, side: int):
+        """Flux BC on one face of the flux-direction axis."""
+        u_type = u.bc.types[axis][side]
+        if u_type == BCType.DIRICHLET and u.bc.bc_values[axis][side] == 0.0:
+            # non-porous wall: no flux through it
+            return BCType.DIRICHLET, 0.0
+        if (
+            u_type == BCType.NEUMANN
+            and c.bc.types[axis][side] == BCType.NEUMANN
+        ):
+            if not isinstance(c.bc, ConstantBoundaryConditions) or not (
+                math.isclose(c.bc.bc_values[axis][side], 0.0)
+            ):
+                raise NotImplementedError(
+                    "advection-flux BC inference supports only homogeneous"
+                    f" Neumann scalars; got {c.bc}"
+                )
+            return BCType.NEUMANN, 0.0
+        raise NotImplementedError(
+            "no advection-flux BC rule for velocity/scalar BC pair"
+            f" {(u.bc, c.bc)}"
+        )
+
+    out_types = []
+    out_values = []
     for axis in range(c.grid.ndim):
         if u.bc.types[axis][0] == BCType.PERIODIC:
-            flux_bc_types.append((BCType.PERIODIC, BCType.PERIODIC))
-            flux_bc_values.append((None, None))
+            out_types.append((BCType.PERIODIC, BCType.PERIODIC))
+            out_values.append((None, None))
         elif flux_direction != axis:
-            # Flux on a boundary parallel to the flux direction only alters
-            # ghost cells, and the divergence is computed on the interior,
-            # so homogeneous Dirichlet is adequate here.
-            flux_bc_types.append((BCType.DIRICHLET, BCType.DIRICHLET))
-            flux_bc_values.append((0.0, 0.0))
+            # Boundaries parallel to the flux direction only touch ghost
+            # cells, and the divergence is taken on the interior, so
+            # homogeneous Dirichlet suffices.
+            out_types.append((BCType.DIRICHLET, BCType.DIRICHLET))
+            out_values.append((0.0, 0.0))
         else:
-            flux_bc_types_ax = []
-            flux_bc_values_ax = []
-            for i in range(2):
-                if (
-                    u.bc.types[axis][i] == BCType.DIRICHLET
-                    and u.bc.bc_values[axis][i] == 0.0
-                ):
-                    flux_bc_types_ax.append(BCType.DIRICHLET)
-                    flux_bc_values_ax.append(0.0)
-                elif (
-                    u.bc.types[axis][i] == BCType.NEUMANN
-                    and c.bc.types[axis][i] == BCType.NEUMANN
-                ):
-                    if not isinstance(c.bc, ConstantBoundaryConditions):
-                        raise NotImplementedError(
-                            "Flux boundary condition is not implemented for "
-                            f"scalar with {c.bc}"
-                        )
-                    if not math.isclose(c.bc.bc_values[axis][i], 0.0):
-                        raise NotImplementedError(
-                            "Flux boundary condition is not implemented for "
-                            f"scalar with {c.bc}"
-                        )
-                    flux_bc_types_ax.append(BCType.NEUMANN)
-                    flux_bc_values_ax.append(0.0)
-                else:
-                    raise NotImplementedError(
-                        f"Flux boundary condition is not implemented for {u.bc, c.bc}"
-                    )
-            flux_bc_types.append(tuple(flux_bc_types_ax))
-            flux_bc_values.append(tuple(flux_bc_values_ax))
-    return ConstantBoundaryConditions(flux_bc_types, flux_bc_values)
+            sides = [_side(axis, i) for i in range(2)]
+            out_types.append(tuple(t for t, _ in sides))
+            out_values.append(tuple(v for _, v in sides))
+    return ConstantBoundaryConditions(out_types, out_values)

@@ -4,6 +4,8 @@ from tpu_cfd.models.base import (
     LayerNormnd,
     PointwiseFFN,
     SpectralConv,
+    apply_with_latents,
+    params_to_double,
 )
 from tpu_cfd.models.sfno import (
     SFNO,

@@ -152,6 +152,47 @@ def view_as_complex(w: Array) -> Array:
     return jax.lax.complex(w[..., 0], w[..., 1])
 
 
+def apply_with_latents(model, params, *args, **kwargs):
+    """Runs ``model.apply`` and returns (output, {name: latent}).
+
+    Functional counterpart of the reference's forward hooks
+    (``FNOBase.add_latent_hook``, base.py:330-345): models ``sow`` their
+    latent tensors under the "intermediates" collection ("lifting",
+    "spectral_{i}", and "r" — the reduced latent the fine-tuning pipeline
+    taps). No hook registration: every apply can ask for them.
+    """
+    out, state = model.apply(
+        params, *args, mutable=["intermediates"], **kwargs
+    )
+    latents = {}
+
+    def _collect(path, leaf):
+        # sow stores tuples under module-scoped paths; key by the sow name
+        name = None
+        for p in path:
+            name = getattr(p, "key", getattr(p, "name", None)) or name
+        latents[str(name)] = leaf
+
+    jax.tree_util.tree_map_with_path(
+        _collect, state.get("intermediates", {}),
+        is_leaf=lambda x: isinstance(x, tuple),
+    )
+    latents = {k: v[0] if isinstance(v, tuple) else v for k, v in latents.items()}
+    return out, latents
+
+
+def params_to_double(params):
+    """fp64-promotes a parameter pytree (reference ``FNOBase.double``,
+    base.py:345-356, which also promotes complex64 → complex128; complex
+    weights here are stored as real pairs so one float cast covers both)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float64)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        params,
+    )
+
+
 class SpectralConv(nn.Module):
     """N-D Fourier layer template: rfftn → mode-truncated matmul → irfftn.
 

@@ -422,9 +422,10 @@ class SFNO(nn.Module):
             mxu_precision=self.mxu_precision,
             impl=self.impl,
         )(v)
+        self.sow("intermediates", "lifting", v)
 
         act = get_activation(self.activation)
-        for _ in range(self.num_spectral_layers - 1):
+        for i in range(self.num_spectral_layers - 1):
             x1 = SpectralConvS(
                 in_channels=self.width,
                 out_channels=self.width,
@@ -438,8 +439,12 @@ class SFNO(nn.Module):
             )(x1)
             x2 = nn.Dense(self.width)(v)
             v = act(x1 + x2)
+            self.sow("intermediates", f"spectral_{i}", v)
 
         v = nn.Dense(self.out_dim)(v)  # channel reduction (reference: width→1)
+        # "r": the reduced latent fed to OutConv — the tap the reference's
+        # ``add_latent_hook("r")`` exposes for a-posteriori fine-tuning
+        self.sow("intermediates", "r", v)
         v = OutConv(
             modes_x=self.modes_x,
             modes_y=self.modes_y,

@@ -97,14 +97,20 @@ def spectral_rot_2d(
 
 
 def brick_wall_filter_2d(grid: Grid, dtype=jnp.float32) -> Array:
-    """2/3-rule dealiasing mask on the rfft2 spectrum (reference spectral.py:78)."""
+    """2/3-rule dealiasing mask on the rfft2 spectrum (reference spectral.py:78).
+
+    Built host-side as the outer product of per-axis keep masks (signed
+    |k_x| ≤ ⌊2n/3⌋/2 on the full axis, the low 2/3 of the half axis) — a
+    numpy constant the jitted step closes over (see CLAUDE.md invariants).
+    """
+    import numpy as np
+
     n, _ = grid.shape
-    filter_ = jnp.zeros((n, n // 2 + 1), dtype=dtype)
-    nx_keep = int(2 / 3 * n) // 2
-    ny_keep = int(2 / 3 * (n // 2 + 1))
-    filter_ = filter_.at[:nx_keep, :ny_keep].set(1)
-    filter_ = filter_.at[-nx_keep:, :ny_keep].set(1)
-    return filter_
+    kmax_x = int(2 / 3 * n) // 2
+    kx = np.round(np.fft.fftfreq(n) * n).astype(int)
+    keep_x = (-kmax_x <= kx) & (kx < kmax_x)
+    keep_y = np.arange(n // 2 + 1) < int(2 / 3 * (n // 2 + 1))
+    return jnp.asarray(np.outer(keep_x, keep_y), dtype=dtype)
 
 
 def vorticity_to_velocity(
@@ -116,12 +122,12 @@ def vorticity_to_velocity(
 
     Reference spectral.py:87-118 (Yin, Clercx & Montgomery 2004 approach).
     """
-    if rfft_mesh is not None:
-        kx, ky = rfft_mesh
-    else:
-        kx, ky = grid.rfft_mesh(dtype=jnp.real(w_hat).dtype)
-    assert kx.shape[-2:] == w_hat.shape[-2:]
-    laplace = spectral_laplacian_2d((kx, ky))
-    psi_hat = -1 / laplace * w_hat
-    u_hat, v_hat = spectral_rot_2d(psi_hat, (kx, ky))
-    return (u_hat, v_hat), psi_hat
+    kx, ky = (
+        rfft_mesh
+        if rfft_mesh is not None
+        else grid.rfft_mesh(dtype=jnp.real(w_hat).dtype)
+    )
+    assert kx.shape[-2:] == w_hat.shape[-2:], "frequency mesh/spectrum mismatch"
+    stream_hat = -w_hat / spectral_laplacian_2d((kx, ky))
+    velocity_hat = spectral_rot_2d(stream_hat, (kx, ky))
+    return velocity_hat, stream_hat

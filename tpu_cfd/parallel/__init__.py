@@ -9,6 +9,7 @@ ICI, all_gather for eval) from the sharding annotations.
 from tpu_cfd.parallel.mesh import (
     make_mesh,
     shard_batch,
+    shard_field_spatial,
     shard_params,
     replicate,
     sfno_param_spec,

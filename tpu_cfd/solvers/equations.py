@@ -79,15 +79,34 @@ class IMEXStepper:
 
     order=1: forward-backward Euler (alpha=1); order=1.5: Crank-Nicolson
     IMEX (alpha=0.5); order=2: RK2 Crank-Nicolson (alpha=0.5 Heun,
-    alpha=2/3 Ralston). Coefficients are plain floats here — they trace into
-    the jitted step as constants; make them learnable by threading them
-    through a flax module if needed (the reference optionally registers them
-    as trainable nn.Parameters, equations.py:161-172).
+    alpha=2/3 Ralston).
+
+    Trainable coefficients (the reference optionally registers alpha/beta as
+    nn.Parameters, equations.py:161-172): the functional equivalent is to
+    pass TRACED arrays instead of floats — ``init_coeffs()`` gives the
+    coefficient pytree, ``with_coeffs(c)`` rebinds it, and gradients flow
+    through the step:
+
+        coeffs = stepper.init_coeffs()
+        loss = lambda c: f(stepper.with_coeffs(c)(u, dt, eq))
+        grads = jax.grad(loss)(coeffs)
     """
 
     order: float = 2
     alpha: float = 0.5
     beta: float = 0.5
+
+    def init_coeffs(self):
+        """Coefficients as a pytree of arrays (for optax/jax.grad)."""
+        import jax.numpy as jnp
+
+        return {"alpha": jnp.asarray(self.alpha), "beta": jnp.asarray(self.beta)}
+
+    def with_coeffs(self, coeffs) -> "IMEXStepper":
+        """Rebinds (possibly traced) coefficients; jit/grad-safe."""
+        return dataclasses.replace(
+            self, alpha=coeffs["alpha"], beta=coeffs["beta"]
+        )
 
     def __call__(self, u: Array, dt: float, equation: ImplicitExplicitODE) -> Array:
         if self.order in (1, 1.5):

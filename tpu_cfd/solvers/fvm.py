@@ -36,19 +36,22 @@ ForcingFn = forcings_mod.ForcingFn
 def _advect_aligned(cs: GridVariableVector, v: GridVariableVector) -> GridArray:
     """Advection as -div(flux) for `cs` already aligned with faces of `v`.
 
-    The flux BC is inherited from the scalar (reference fvm.py:40-86).
+    Per component i: flux_i = c_i·u_i, given the BC inferred from the
+    velocity/scalar pair, then the negated divergence sums the face fluxes
+    (reference fvm.py:40-86).
     """
     if len(cs) != len(v):
         raise ValueError(
-            f"`cs` and `v` must have the same length; got {len(cs)} vs. {len(v)}."
+            f"one interpolated scalar per velocity face required: {len(cs)}"
+            f" scalars vs {len(v)} faces"
         )
-    flux = GridArrayVector(tuple(c.array * u.array for c, u in zip(cs, v)))
-    bcs = tuple(
-        boundaries.get_advection_flux_bc_from_velocity_and_scalar(v[i], cs[i], i)
-        for i in range(len(v))
-    )
-    flux = GridVariableVector(tuple(bc.impose_bc(f) for f, bc in zip(flux, bcs)))
-    return -fdm.divergence(flux)
+    flux_parts = []
+    for axis, (c, u) in enumerate(zip(cs, v)):
+        bc = boundaries.get_advection_flux_bc_from_velocity_and_scalar(
+            u, c, axis
+        )
+        flux_parts.append(bc.impose_bc(c.array * u.array))
+    return -fdm.divergence(GridVariableVector(tuple(flux_parts)))
 
 
 def advect_general(
