@@ -1,0 +1,145 @@
+"""FNO3d baseline training on McWilliams2d with dataset normalization.
+
+Counterpart of the reference's examples/ex2_FNO3d_train_normalized.ipynb:
+SpatioTemporalDatasetFixedTime (T_start=10, spatial Gaussian normalizer) +
+FNO3d(modes=32, modes_t=5, width=10, input_channel=10) + rel-Sobolev loss +
+OneCycle Adam (lr 1e-3, div 1e4/1e3), 10 epochs, batch 4. The reference
+reaches test rel L2 ≈ 1.56e-1 — FNO3d is the fixed-time-grid baseline the
+SFNO beats by ~2.5× on the same data.
+
+The FNO3d input is the 10 input frames broadcast along the output time axis
+plus (x, y, t) grid channels (reference fno3d.py:163-166); loss is computed
+on denormalized fields (reference pipeline.py train_batch_ns normalizer arg).
+
+Run (after generating the McWilliams dataset):
+  python examples/ex2_fno3d_train.py --epochs 10 --num-samples 1024
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpu_cfd.data.datasets import SpatioTemporalDatasetFixedTime
+from tpu_cfd.models import FNO3d
+from tpu_cfd.models.fno3d import add_grid_3d
+from tpu_cfd.train import losses, pipeline
+
+
+def make_fno3d_input(a: jax.Array, out_steps: int) -> jax.Array:
+    """(b, n, n, T_in) input frames -> (b, n, n, out_steps, T_in + 3)."""
+    b, nx, ny, t_in = a.shape
+    x = jnp.broadcast_to(a[..., None, :], (b, nx, ny, out_steps, t_in))
+    return add_grid_3d(x)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-file", type=str, default=None)
+    p.add_argument("--num-samples", type=int, default=1024)
+    p.add_argument("--num-test-samples", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--modes", type=int, default=32)
+    p.add_argument("--modes-t", type=int, default=5)
+    p.add_argument("--width", type=int, default=10)
+    p.add_argument("--time-steps", type=int, default=10)
+    p.add_argument("--t-start", type=int, default=10)
+    p.add_argument("--res", type=int, default=64)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    data_path = args.data_file or os.path.join(
+        pipeline.DATA_PATH, "McWilliams2d_64x64_N1152_v1e-3_T10_steps100.npz"
+    )
+    T = args.time_steps
+    train_ds = SpatioTemporalDatasetFixedTime(
+        data_path, n_samples=args.num_samples, fields=["vorticity"],
+        steps=T, out_steps=T, T_start=args.t_start,
+    )
+    test_ds = SpatioTemporalDatasetFixedTime(
+        data_path, n_samples=args.num_test_samples, fields=["vorticity"],
+        steps=T, out_steps=T, T_start=args.t_start, train=False,
+    )
+    normalizer = train_ds.normalizers["vorticity"]
+    # eval uses the TRAIN statistics (reference passes
+    # inp_normalizer=train_dataset.inp_normalizer to the test set)
+    test_ds.normalizers["vorticity"] = normalizer
+
+    model = FNO3d(
+        modes1=args.modes, modes2=args.modes, modes3=args.modes_t,
+        width=args.width, input_channel=T,
+    )
+    key = jax.random.PRNGKey(args.seed)
+    rng = np.random.default_rng(args.seed)
+    inp0, _ = train_ds.sample(np.arange(2), rng)
+    x0 = make_fno3d_input(jnp.asarray(inp0["vorticity"]), T)
+    params = jax.jit(model.init)(key, x0)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"FNO3d parameters: {n_params}")
+
+    steps_per_epoch = max(1, len(train_ds) // args.batch_size)
+    total = steps_per_epoch * args.epochs
+    schedule = (
+        optax.cosine_onecycle_schedule(
+            transition_steps=total, peak_value=args.lr, pct_start=0.3,
+            div_factor=1e4, final_div_factor=1e3,
+        )
+        if total >= 5
+        else optax.constant_schedule(args.lr)
+    )
+    opt = optax.adam(schedule)
+    opt_state = opt.init(params)
+    loss_fn = losses.SobolevLoss(n_grid=args.res, norm_order=0, relative=True)
+
+    mean = jnp.asarray(normalizer.mean)
+    std = jnp.asarray(normalizer.std)
+
+    def denorm(u):
+        # SpatialGaussianNormalizer stats are per (x, y, t) location
+        return u * (std + normalizer.eps) + mean
+
+    @jax.jit
+    def train_step(params, opt_state, a, u):
+        def loss(p):
+            out, _ = model.apply(p, make_fno3d_input(a, T))
+            return loss_fn(denorm(out), denorm(u))
+
+        l, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    @jax.jit
+    def eval_step(params, a, u):
+        out, _ = model.apply(params, make_fno3d_input(a, T))
+        return loss_fn(denorm(out), denorm(u))
+
+    for ep in range(args.epochs):
+        tr, count = 0.0, 0
+        for inp, out in train_ds.batches(args.batch_size, rng):
+            a = jnp.asarray(inp["vorticity"])
+            u = jnp.asarray(out["vorticity"])
+            params, opt_state, l = train_step(params, opt_state, a, u)
+            tr += float(l)
+            count += 1
+        evals = [
+            float(eval_step(params, jnp.asarray(i["vorticity"]),
+                            jnp.asarray(o["vorticity"])))
+            for i, o in test_ds.batches(1, rng, shuffle=False)
+        ]
+        print(
+            f"Epoch {ep + 1:2d}/{args.epochs} | train rel L2:"
+            f" {tr / max(count, 1):.5e} | test rel L2: {np.mean(evals):.5e}"
+        )
+    return float(np.mean(evals))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,8 @@ divergence-free projection at 1e-5 (fp32) / 1e-12 (fp64) (sfno_pytest.py:97,
 grid sizes, plus loss sanity checks.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -324,3 +326,40 @@ class TestLatentTapsAndDouble:
         assert dtypes == {jnp.dtype(jnp.float64)}
         out = model.apply(p64, jnp.zeros((1, 16, 16, 6), jnp.float64))
         assert out.dtype == jnp.float64
+
+
+class TestFNO3dTrainingExample:
+    def test_example_trains_and_loss_decreases(self, tmp_path):
+        """The FNO3d normalized-training path (reference
+        examples/ex2_FNO3d_train_normalized.ipynb) learns on tiny data."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ex2_fno3d_train",
+            os.path.join(os.path.dirname(__file__), "..", "examples",
+                         "ex2_fno3d_train.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        rng = np.random.default_rng(0)
+        n, T, N = 16, 24, 8
+        xg, yg = np.meshgrid(
+            np.linspace(0, 2 * np.pi, n, endpoint=False),
+            np.linspace(0, 2 * np.pi, n, endpoint=False), indexing="ij",
+        )
+        trajs = np.stack([
+            np.stack([
+                np.exp(-0.05 * t) * np.sin(xg + 0.3 * t + rng.uniform(0, 6.28))
+                * np.cos(yg - 0.2 * t) for t in range(T)
+            ]) for _ in range(N)
+        ]).astype(np.float32)
+        path = tmp_path / "mc_tiny.npz"
+        np.savez(path, vorticity=trajs)
+        test_l2 = mod.main([
+            "--data-file", str(path), "--num-samples", "6",
+            "--num-test-samples", "2", "--epochs", "4", "--batch-size", "2",
+            "--modes", "4", "--modes-t", "2", "--width", "6",
+            "--time-steps", "4", "--t-start", "2", "--res", "16",
+        ])
+        assert np.isfinite(test_l2) and test_l2 < 1.0
