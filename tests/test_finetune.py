@@ -126,6 +126,68 @@ class TestFineTuneLoop:
         assert history[-1] < 5e-5, history[-1]
         assert np.isfinite(history).all()
 
+    def test_notebook_faithful_loop(self):
+        """The full reference recipe: build_finetune_outconv (zero biases,
+        ~1e-6 fresh weights, transplanted corners) + two-group Adam + the
+        alpha-weighted H^-1 residual norm (ex2_SFNO_finetune_fnodata.ipynb
+        cells 6-8), at toy scale."""
+        from tpu_cfd.models.sfno import SFNO
+        from tpu_cfd.train import losses
+
+        n, nt = 32, 6
+        w_true = make_true_trajectory(n=n, nt=nt).astype(jnp.float64)
+        sfno = SFNO(modes_x=4, modes_y=4, modes_t=2, width=4,
+                    latent_steps=4, num_spectral_layers=2, output_steps=nt)
+        sfno_params = sfno.init(KEY, w_true[:, :16, :16].astype(jnp.float32))
+
+        v_latent = w_true[..., None]
+        model, params = finetune.build_finetune_outconv(
+            sfno_params, (4, 4, 2), (8, 8, 3), jax.random.PRNGKey(2),
+            v_latent, w_true, out_steps=nt,
+            delta=1.0, diam=1.0, visc=1e-3, dt=1e-6, bdf_weight=(0.5, 0.5),
+        )
+        # reference init: corner biases transplanted, the rest exactly zero;
+        # fresh weights at the 1e-6 scale
+        p = params["params"]
+        oc = next(k for k in p if k.startswith("OutConv"))
+        sc = next(k for k in p[oc] if k.startswith("SpectralConvT"))
+        conv_p = p[oc][sc]
+        old_conv, _ = finetune._find_outconv_scope(sfno_params)
+        np.testing.assert_array_equal(
+            conv_p["weight_0"][:4, :4, :2], old_conv["weight_0"]
+        )
+        assert float(jnp.abs(conv_p["weight_0"][4:, 4:, :]).max()) < 1e-5
+        assert float(jnp.abs(conv_p["bias_0"][4:, 4:, :]).max()) == 0.0
+
+        res_hm1 = losses.SobolevLoss(
+            n_grid=n, norm_order=-1, relative=False, time_average=True,
+            alpha=10 ** (-3 / 2), freq_cutoff=n // 2 + 1, diam=1.0,
+        )
+        l2 = losses.SobolevLoss(n_grid=n, norm_order=0, relative=True,
+                                time_average=True, diam=1.0)
+        params, hist = finetune.finetune_steps(
+            model, params, v_latent, w_true, None, out_steps=nt,
+            n_steps=12, lr=1e-4, lr_bias=1e-2, residual_norm=res_hm1,
+            track=lambda o: {"l2_vs_gt": l2(o["w"], w_true)},
+        )
+        assert isinstance(hist[0], dict) and "l2_vs_gt" in hist[0]
+        res = [h["residual"] for h in hist]
+        # the untrained toy transplant starts essentially at the solver
+        # noise floor (~2e-7 here) — the loop must stay there, not blow up
+        assert np.isfinite(res).all()
+        assert max(res) < 1e-5, res
+
+    def test_groupwise_adam_moves_bias_faster(self):
+        params = {"params": {"weight_0": jnp.ones((3,)), "bias_0": jnp.ones((3,))}}
+        opt = finetune.groupwise_adam(1e-4, 1e-1, params)
+        state = opt.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = opt.update(grads, state)
+        new = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        dw = float(jnp.abs(new["params"]["weight_0"] - 1).max())
+        db = float(jnp.abs(new["params"]["bias_0"] - 1).max())
+        assert db > 100 * dw, (db, dw)
+
     def test_original_passthrough(self):
         model = finetune.OutConvFT(
             modes_x=4, modes_y=4, modes_t=2, out_steps=4, finetune=False

@@ -221,8 +221,17 @@ def build_finetune_outconv(
     params = model.init(
         key, example_latent, example_res, out_steps=out_steps, original=True
     )
-    # scale fresh init toward zero like the reference's _reset_parameters(1e-6)
-    params = jax.tree_util.tree_map(lambda x: x * 1e-2, params)
+    # fresh init matching the reference's conv._reset_parameters(gain=1e-6)
+    # (base.py:169-174): biases exactly zero, weights ~1e-6-scale — the
+    # transplanted low-mode corners below carry all the signal. Params adopt
+    # the input dtype so the fp64 fine-tune path stays fp64 end to end.
+    dtype = example_latent.dtype
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, x: jnp.zeros_like(x, dtype=dtype)
+        if any("bias" in str(getattr(p, "key", "")) for p in path)
+        else (x * 1e-6).astype(dtype),
+        params,
+    )
 
     old_conv, _ = _find_outconv_scope(trained_sfno_params)
     p = params["params"]
@@ -234,6 +243,25 @@ def build_finetune_outconv(
     return model, params
 
 
+def groupwise_adam(lr_weight: float, lr_bias: float, params: Dict):
+    """Adam with separate weight/bias learning rates.
+
+    Counterpart of the reference fine-tune optimizer (examples/
+    ex2_SFNO_finetune_fnodata.ipynb: Adam param groups with
+    ``conv.bias`` lr 2e-1 and ``conv.weight`` lr 1e-4 — the bias IS the
+    learnable spectral correction, so it moves fast while the transplanted
+    weights barely drift).
+    """
+    def label(path, _):
+        is_bias = any("bias" in str(getattr(p, "key", "")) for p in path)
+        return "bias" if is_bias else "weight"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    return optax.multi_transform(
+        {"weight": optax.adam(lr_weight), "bias": optax.adam(lr_bias)}, labels
+    )
+
+
 def finetune_steps(
     model: OutConvFT,
     params: Dict,
@@ -243,13 +271,19 @@ def finetune_steps(
     out_steps: int,
     n_steps: int = 50,
     lr: float = 1e-3,
+    lr_bias: Optional[float] = None,
     residual_norm=None,
+    track=None,
 ):
     """Adam refinement of the output conv against the PDE residual norm.
 
-    The reference reaches ≤1e-6 Bochner residual within ~50 ADAM iterations
-    at 256² (README.md:20,49-50); cost per step ≈ one forward eval.
-    Returns (params, history).
+    The reference reaches ≤1e-6 residual in the α-weighted H⁻¹ dual norm
+    within ~50 ADAM iterations at 256² (README.md:20,49-50; measured
+    2.68e-6 in examples/ex2_SFNO_finetune_fnodata.ipynb cell 8); cost per
+    step ≈ one forward eval. ``lr_bias`` enables the reference's two-group
+    optimizer. ``track(out)->dict`` computes extra per-step metrics from the
+    forward output (e.g. L2 vs ground truth). Returns (params, history) —
+    history entries are dicts when ``track`` is given, else floats.
     """
     if residual_norm is None:
         from tpu_cfd.train.losses import BochnerNorm
@@ -258,21 +292,29 @@ def finetune_steps(
             n_grid=v_res.shape[1], relative=False, time_last=True,
             mesh_weighted=True,
         )
-    opt = optax.adam(lr)
+    opt = (
+        groupwise_adam(lr, lr_bias, params) if lr_bias is not None
+        else optax.adam(lr)
+    )
     opt_state = opt.init(params)
 
     @jax.jit
     def step(params, opt_state):
         def loss_fn(p):
             out = model.apply(p, v_latent, v_res, f, out_steps=out_steps)
-            return residual_norm(out["residual"])
+            return residual_norm(out["residual"]), out
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        extras = track(out) if track is not None else {}
+        return optax.apply_updates(params, updates), opt_state, loss, extras
 
     history = []
     for _ in range(n_steps):
-        params, opt_state, loss = step(params, opt_state)
-        history.append(float(loss))
+        params, opt_state, loss, extras = step(params, opt_state)
+        if track is not None:
+            history.append({"residual": float(loss),
+                            **{k: float(v) for k, v in extras.items()}})
+        else:
+            history.append(float(loss))
     return params, history

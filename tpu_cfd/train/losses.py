@@ -177,7 +177,9 @@ class SobolevLoss:
         kx = np.where(np.abs(kx) > freq_cutoff, cutoff_val, kx)
         ky = np.where(np.abs(ky) > freq_cutoff, cutoff_val, ky)
         weight = self.alpha + 4 * np.pi**2 * (kx**2 + ky**2)
-        self.weight = np.sqrt(weight).astype(np.float32)
+        # stays float64 host-side; cast to the input's real dtype at call
+        # time so fp64 fine-tune residuals keep full precision
+        self.weight = np.sqrt(weight)
 
     def __call__(self, x: Array, y: Optional[Array] = None) -> Array:
         bsz = x.shape[0]
