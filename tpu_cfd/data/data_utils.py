@@ -165,7 +165,12 @@ def merge_parts(data_filepath: os.PathLike, cleanup: bool = True) -> Path:
         k: (np.concatenate(v, axis=0) if v[0].ndim > 0 else np.stack(v))
         for k, v in merged.items()
     }
-    np.savez(path, **final)
+    # write-then-rename: the final path only ever appears fully formed, so
+    # a concurrent reader (e.g. a training job waiting on the dataset) never
+    # sees a truncated zip
+    tmp = path.with_name(path.name + ".tmp.npz")
+    np.savez(tmp, **final)
+    os.replace(tmp, path)
     if cleanup:
         for part in parts:
             part.unlink()

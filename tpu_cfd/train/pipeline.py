@@ -80,7 +80,6 @@ def make_train_step(
     model,
     loss_fn: Callable,
     optimizer: optax.GradientTransformation,
-    field: str = "vorticity",
     normalizer=None,
 ):
     """Returns a jitted train step: (params, opt_state, inp, target) -> ...
