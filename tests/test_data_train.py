@@ -221,6 +221,7 @@ class TestEnstrophySpectrum:
 
 
 class TestTrainingPipeline:
+    @pytest.mark.slow
     def test_train_loop_decreases_loss(self, tmp_path):
         from tpu_cfd.models import SFNO
         from tpu_cfd.train import losses, pipeline

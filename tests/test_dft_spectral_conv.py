@@ -114,6 +114,7 @@ class TestSFNOEndToEndParity:
         out_dft = model_dft.apply(params, v)
         np.testing.assert_allclose(out_dft, out_fft, atol=1e-9)
 
+    @pytest.mark.slow
     def test_gradients_match(self):
         """The two paths also agree through the backward pass."""
         kwargs = dict(

@@ -126,6 +126,7 @@ class TestFineTuneLoop:
         assert history[-1] < 5e-5, history[-1]
         assert np.isfinite(history).all()
 
+    @pytest.mark.slow
     def test_notebook_faithful_loop(self):
         """The full reference recipe: build_finetune_outconv (zero biases,
         ~1e-6 fresh weights, transplanted corners) + two-group Adam + the

@@ -148,6 +148,7 @@ class TestSFNO:
         assert out.shape == (2, n, n, out_steps)
         assert bool(jnp.isfinite(out).all())
 
+    @pytest.mark.slow
     def test_super_resolution_same_params(self):
         """Same params evaluate at a finer grid (mesh-free operator)."""
         model = SFNO(
@@ -329,6 +330,7 @@ class TestLatentTapsAndDouble:
 
 
 class TestFNO3dTrainingExample:
+    @pytest.mark.slow
     def test_example_trains_and_loss_decreases(self, tmp_path):
         """The FNO3d normalized-training path (reference
         examples/ex2_FNO3d_train_normalized.ipynb) learns on tiny data."""

@@ -57,6 +57,7 @@ class TestShardedSolver:
 
 
 class TestShardedTraining:
+    @pytest.mark.slow
     def test_sharded_train_step_equals_replicated(self, mesh):
         n_grid, batch, width = 16, 8, 8
         model = SFNO(
@@ -150,6 +151,7 @@ class TestTrainCLIDataParallel:
         ] + extra
         return train.main(argv)
 
+    @pytest.mark.slow
     def test_data_parallel_cli_equals_single_device(self, tmp_path, monkeypatch):
         """--data-parallel over 8 CPU devices reproduces the 1-device run."""
         n, T = 16, 12

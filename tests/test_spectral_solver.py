@@ -198,6 +198,7 @@ class TestTrajectories:
 
 
 class TestChunkedTrajectory:
+    @pytest.mark.slow
     def test_chunked_equals_single_program(self):
         """Chunked rollout reproduces get_trajectory_imex exactly."""
         n, batch = 32, 2

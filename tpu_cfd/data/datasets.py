@@ -93,12 +93,21 @@ class SpatialGaussianNormalizer(UnitGaussianNormalizer):
         return (x - self.mean) / (self.std + self.eps)
 
 
-def load_trajectory_dict(path: Union[str, os.PathLike]) -> Dict[str, Array]:
-    """Loads a trajectory dict from .npz (native) or torch .pt (reference)."""
+def load_trajectory_dict(
+    path: Union[str, os.PathLike],
+    keys: Optional[Sequence[str]] = None,
+) -> Dict[str, Array]:
+    """Loads a trajectory dict from .npz (native) or torch .pt (reference).
+
+    ``keys`` restricts which arrays are materialized — np.load is lazy per
+    entry, so asking for one field of a multi-GB extra-vars dataset reads
+    only that field instead of the whole archive.
+    """
     path = Path(path)
     if path.suffix == ".npz":
         with np.load(path) as z:
-            return {k: z[k] for k in z.files}
+            names = z.files if keys is None else [k for k in z.files if k in keys]
+            return {k: z[k] for k in names}
     elif path.suffix in (".pt", ".pth"):
         import torch  # cpu torch: only for reading reference-format files
 
@@ -151,7 +160,7 @@ class SpatioTemporalDataset:
         data = (
             data_path
             if isinstance(data_path, dict)
-            else load_trajectory_dict(data_path)
+            else load_trajectory_dict(data_path, keys=self.fields)
         )
         data = {k: np.asarray(v) for k, v in data.items() if k in self.fields}
         first = data[self.fields[0]]

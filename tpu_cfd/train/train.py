@@ -189,14 +189,18 @@ def main(args=None):
             logger.info(f"No test data at {test_path}; skipping eval phase.")
             return params
         test_n = args.test_res
+        # reference eval phase (train.py:207-252): window starts at frame 30,
+        # fp64 when --double (the reference always evals in fp64; fp64 here
+        # is the CPU path)
         test_dataset = SpatioTemporalDataset(
             data_path=test_path,
             n_samples=args.num_test_samples,
             fields=[fs],
             steps=time_steps,
             out_steps=out_steps,
-            T_start=0,
+            T_start=args.test_t_start,
             train=False,
+            dtype=np.float64 if args.double else np.float32,
         )
         try:
             params = pipeline.load_checkpoint(path_model, target=params)
@@ -205,9 +209,13 @@ def main(args=None):
         metric = losses.SobolevLoss(
             n_grid=test_n, norm_order=args.norm_order, relative=True
         )
+        if args.double:
+            from tpu_cfd.models.base import params_to_double
+
+            params = params_to_double(params)
         test_step = pipeline.make_eval_step(model, metric, out_steps=out_steps)
         test_l2 = pipeline.eval_epoch(
-            test_step, params, test_dataset, max(1, args.batch_size // 4), field=fs
+            test_step, params, test_dataset, args.test_batch_size, field=fs
         )
         logger.info(f"Test rel Sobolev metric at {test_n}x{test_n}: {test_l2:.4e}")
         if args.demo_plots:
@@ -254,6 +262,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num-samples", type=int, default=1024)
     parser.add_argument("--num-val-samples", type=int, default=64)
     parser.add_argument("--num-test-samples", type=int, default=16)
+    parser.add_argument("--test-t-start", type=int, default=30,
+                        help="high-res eval window start (reference train.py:220)")
+    parser.add_argument("--test-batch-size", type=int, default=1)
     parser.add_argument("--res", type=int, default=64)
     parser.add_argument("--test-res", type=int, default=256)
     parser.add_argument("--field", type=str, default="vorticity")
