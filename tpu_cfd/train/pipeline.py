@@ -170,11 +170,28 @@ def save_checkpoint(params, path: os.PathLike):
 
 
 def load_checkpoint(path: os.PathLike, target=None):
-    """Restores a params pytree saved by :func:`save_checkpoint`."""
+    """Restores a params pytree saved by :func:`save_checkpoint`.
+
+    Arrays are restored as host numpy so a checkpoint written on one
+    backend (e.g. the TPU training run) loads on any other (e.g. the fp64
+    CPU fine-tune/eval phase) — the caller's first jit puts them on device.
+    """
     path = Path(path).absolute()
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:
-        return ckptr.restore(path, item=target)
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), target
+        )
+        restored = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(
+                item=target, restore_args=restore_args
+            ),
+        )
+        # match the target's leaf dtypes (e.g. keep fp32 params fp32)
+        return jax.tree_util.tree_map(
+            lambda t, r: jnp.asarray(r, dtype=getattr(t, "dtype", None)),
+            target, restored,
+        )
     return ckptr.restore(path)
