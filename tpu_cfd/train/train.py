@@ -234,7 +234,10 @@ def _save_demo_plots(
     from tpu_cfd.utils import visualizations as viz
 
     inp, out = dataset.sample(np.arange(min(n_plots, len(dataset))))
-    pred = model.apply(params, jnp.asarray(inp[field]), out_steps=out_steps)
+    # jitted: an eager apply dispatches per-op over the device tunnel, which
+    # is slow and can hit transient UNIMPLEMENTED errors (CLAUDE.md)
+    apply = jax.jit(lambda p, v: model.apply(p, v, out_steps=out_steps))
+    pred = apply(params, jnp.asarray(inp[field]))
     pred = np.asarray(pred)
     truth = np.asarray(out[field])
     for i in range(pred.shape[0]):
