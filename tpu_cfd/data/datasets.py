@@ -163,6 +163,16 @@ class SpatioTemporalDataset:
             else load_trajectory_dict(data_path, keys=self.fields)
         )
         data = {k: np.asarray(v) for k, v in data.items() if k in self.fields}
+        # datasets generated without --extra-vars store auxiliary fields as
+        # empty arrays — drop them so the default fields degrade gracefully
+        data = {k: v for k, v in data.items() if v.size}
+        missing = [f for f in self.fields if f not in data]
+        if self.fields[0] in missing:
+            raise KeyError(
+                f"primary field {self.fields[0]!r} not in dataset "
+                f"(available: {sorted(data)})"
+            )
+        self.fields = [f for f in self.fields if f in data]
         first = data[self.fields[0]]
         if not data_time_last:
             # (N, T, n, n) -> (N, n, n, T)
