@@ -65,8 +65,11 @@ def _resolve_data(example: str, split: str, override: str = None) -> str:
 def main(args=None):
     args = get_parser().parse_args(args)
     if args.double:
-        # fp64 is a CPU-only path (TPUs have no fast float64); mirrors the
-        # reference's fp64 eval phase (train.py:207-209)
+        # fp64 is a CPU-only path (TPUs have no float64/complex128 — the
+        # Sobolev metric's rfft would fail to compile); mirrors the
+        # reference's fp64 eval phase (train.py:207-209). Platform forcing
+        # must happen before the first backend bind (CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
     pipeline.ensure_paths()
     current_time = datetime.now().strftime("%d_%b_%Y_%Hh%Mm")
