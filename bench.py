@@ -123,6 +123,8 @@ def main():
     dgen_steps_per_s, _, _ = bench_solver(batch=128, steps_per_call=100,
                                           n_calls=2)
     sfno_samples_per_s, train_flops, train_hbm = bench_sfno_train()
+    # batch-scaling point: larger per-step parallelism amortizes op overhead
+    sfno_b32_samples_per_s, _, _ = bench_sfno_train(batch=32, n_calls=5)
 
     def roofline(flops_per_unit, hbm_per_unit, units_per_s):
         fl = flops_per_unit * units_per_s
@@ -146,6 +148,8 @@ def main():
             "datagen_b128_samples_x_steps_per_s": round(
                 dgen_steps_per_s * 128, 0),
             "sfno_train_samples_per_s_per_chip": round(sfno_samples_per_s, 2),
+            "sfno_train_b32_samples_per_s_per_chip": round(
+                sfno_b32_samples_per_s, 2),
             "sfno_train_roofline": roofline(
                 train_flops, train_hbm, sfno_samples_per_s / 4),
         },
