@@ -151,6 +151,24 @@ class TestSpatioTemporalDataset:
         batches = list(ds.batches(2, np.random.default_rng(0)))
         assert len(batches) == 3
 
+    def test_empty_auxiliary_fields_dropped(self, tmp_path):
+        """Datasets generated without --extra-vars store aux fields as empty
+        arrays; the default field list must degrade gracefully."""
+        path, data = _make_traj_npz(tmp_path)
+        d = dict(np.load(path))
+        d["stream"] = np.zeros((4, 0), np.float32)
+        ds = SpatioTemporalDataset(d, n_samples=4, steps=3, out_steps=2,
+                                   fields=["vorticity", "stream"])
+        assert ds.fields == ["vorticity"]
+        inp, _ = ds.sample(np.array([0]), np.random.default_rng(0))
+        assert inp["vorticity"].shape == (1, 16, 16, 3)
+        # a missing PRIMARY field is an error, not silent pruning
+        import pytest
+
+        with pytest.raises(KeyError):
+            SpatioTemporalDataset(d, n_samples=4, steps=3,
+                                  fields=["nope", "vorticity"])
+
 
 class TestIncrementalIO:
     def test_parts_roundtrip_and_resume(self, tmp_path):
