@@ -37,8 +37,10 @@ from tpu_cfd.train.pipeline import DATA_PATH, LOG_PATH, MODEL_PATH
 # follow generate.py's own convention so the two CLIs compose out of the box)
 DATA_FILES = {
     "fno": {
-        "train": "fnodata_extra_64x64_N1280_v1e-3_T50_steps100.npz",
-        "valid": "fnodata_extra_64x64_N1280_v1e-3_T50_steps100.npz",
+        # 256²-solved → 64²-subsampled, matching the reference's data
+        # semantics (fno/README.md:14) — controls zero-shot super-resolution
+        "train": "fnodata_extra_256to64_N1280_v1e-3_T50_steps100.npz",
+        "valid": "fnodata_extra_256to64_N1280_v1e-3_T50_steps100.npz",
         "test": "fnodata_extra_fp64_256x256_N16_v1e-3_T50_steps100.npz",
     },
     "McWilliams2d": {
