@@ -169,6 +169,132 @@ class TestSpatioTemporalDataset:
             SpatioTemporalDataset(d, n_samples=4, steps=3,
                                   fields=["nope", "vorticity"])
 
+    def test_missing_auxiliary_field_warns(self, tmp_path):
+        """A requested field with no key at all (typo, or never recorded) is
+        surfaced as a warning — unlike the silent empty-placeholder prune."""
+        path, _ = _make_traj_npz(tmp_path)
+        d = dict(np.load(path))
+        with pytest.warns(UserWarning, match="strem"):
+            ds = SpatioTemporalDataset(d, n_samples=4, steps=3, out_steps=2,
+                                       fields=["vorticity", "strem"])
+        assert ds.fields == ["vorticity"]
+
+
+def _make_fno_paper_u(n_traj=8, n=16, nt=16, seed=0):
+    """Synthetic FNO-paper-format solution tensor u: (N, n, n, T), smooth."""
+    rng = np.random.default_rng(seed)
+    coarse = rng.normal(size=(n_traj, 4, 4, nt)).astype(np.float32)
+    u = np.asarray(
+        jax.image.resize(jnp.asarray(coarse), (n_traj, n, n, nt), "cubic")
+    )
+    return u + 1.5  # nonzero mean so normalization is load-bearing
+
+
+class TestNavierStokesDataset:
+    """Exercises the FNO-paper `.mat`/`.pt` workflow end-to-end (reference
+    fno/datasets.py:165-370, fno/fno3d.py:163-166)."""
+
+    def test_mat_scipy_format(self, tmp_path):
+        import scipy.io as sio
+
+        from tpu_cfd.data.datasets import NavierStokesDataset
+
+        u = _make_fno_paper_u()
+        path = tmp_path / "ns_data.mat"
+        sio.savemat(path, {"u": u, "a": u[..., 0]})
+        ds = NavierStokesDataset(path, n_samples=6, train=True,
+                                 time_steps_input=5, time_steps_output=8)
+        assert ds.a.shape == (6, 16, 16, 5)
+        assert ds.u.shape == (6, 16, 16, 8)
+        # inputs are normalized; targets are raw solution frames
+        assert abs(ds.a.mean()) < 1e-4
+        np.testing.assert_allclose(ds.u, u[:6, ..., 5:13], rtol=1e-6)
+
+    def test_mat_hdf5_format_matches_scipy(self, tmp_path):
+        """MATLAB ≥v7.3 stores column-major HDF5; the loader must transpose
+        back so both vintages produce identical datasets."""
+        import h5py
+        import scipy.io as sio
+
+        from tpu_cfd.data.datasets import NavierStokesDataset
+
+        u = _make_fno_paper_u()
+        p_old = tmp_path / "old.mat"
+        sio.savemat(p_old, {"u": u})
+        p_73 = tmp_path / "v73.mat"
+        with h5py.File(p_73, "w") as f:
+            f.create_dataset("u", data=u.T)  # column-major on disk
+        ds_old = NavierStokesDataset(p_old, n_samples=4, normalize=False)
+        ds_73 = NavierStokesDataset(p_73, n_samples=4, normalize=False)
+        np.testing.assert_array_equal(ds_old.a, ds_73.a)
+        np.testing.assert_array_equal(ds_old.u, ds_73.u)
+
+    def test_pt_format_and_subsample(self, tmp_path):
+        import torch
+
+        from tpu_cfd.data.datasets import NavierStokesDataset
+
+        u = _make_fno_paper_u()
+        path = tmp_path / "ns_data.pt"
+        torch.save({"u": torch.from_numpy(u)}, path)
+        ds = NavierStokesDataset(path, n_samples=4, subsample=2,
+                                 time_steps_input=5, time_steps_output=8,
+                                 normalize=False)
+        assert ds.a.shape == (4, 8, 8, 5)
+        np.testing.assert_array_equal(ds.a, u[:4, ::2, ::2, :5])
+
+    @pytest.mark.slow
+    def test_fno3d_trains_on_mat_data(self, tmp_path):
+        """The reference's FNO3d workflow: .mat -> NavierStokesDataset ->
+        a broadcast over output steps + grid channels -> FNO3d, loss falls."""
+        import optax
+        import scipy.io as sio
+
+        from tpu_cfd.data.datasets import NavierStokesDataset
+        from tpu_cfd.models.fno3d import FNO3d, add_grid_3d
+
+        u = _make_fno_paper_u(n_traj=8, n=16, nt=16)
+        path = tmp_path / "ns_data.mat"
+        sio.savemat(path, {"u": u})
+        t_in, t_out = 5, 8
+        ds = NavierStokesDataset(path, n_samples=8, time_steps_input=t_in,
+                                 time_steps_output=t_out)
+        model = FNO3d(modes1=4, modes2=4, modes3=3, width=8,
+                      input_channel=t_in, num_spectral_layers=2,
+                      channel_expansion=16)
+
+        def prep(a):
+            # (b, n, n, t_in) input frames broadcast along the output-time
+            # axis as channels, + (x,y,t) grid channels (fno3d.py:163-166)
+            x = jnp.broadcast_to(
+                jnp.asarray(a)[:, :, :, None, :],
+                (*a.shape[:3], t_out, t_in),
+            )
+            return add_grid_3d(x)
+
+        batch = next(iter(ds.batches(4, np.random.default_rng(0))))
+        x, y = prep(batch["a"]), jnp.asarray(batch["u"])
+        params = model.init(jax.random.PRNGKey(0), x)
+        opt = optax.adam(1e-2)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, x, y):
+            def loss_fn(p):
+                pred, _ = model.apply(p, x)
+                return jnp.mean((pred - y) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        for _ in range(8):
+            params, opt_state, loss = step(params, opt_state, x, y)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < 0.5 * losses[0]
+
 
 class TestIncrementalIO:
     def test_parts_roundtrip_and_resume(self, tmp_path):

@@ -55,6 +55,8 @@ class TestHelmholtz:
         (128, jnp.float32, 1e-5),
         (64, jnp.float64, 1e-12),
         (256, jnp.float64, 1e-12),
+        # the reference contract covers up to 512² (sfno_pytest.py:97-129)
+        pytest.param(512, jnp.float64, 1e-12, marks=pytest.mark.slow),
     ])
     def test_projected_divergence(self, n, dtype, tol):
         """Projected field divergence < 1e-5 fp32 / 1e-12 fp64 (ref :97,129)."""

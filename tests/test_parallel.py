@@ -183,6 +183,40 @@ class TestTrainCLIDataParallel:
             )
 
 
+class TestDataGenDataParallel:
+    def test_generate_cli_equals_single_device(self, tmp_path):
+        """--data-parallel generation over 8 CPU devices stores the same
+        dataset as the single-device run (per-sample fold_in seeding)."""
+        from tpu_cfd.data import generate
+
+        common = [
+            "--grid-size", "32", "--num-samples", "8", "--batch-size", "8",
+            "--time", "0.03", "--time-warmup", "0.01", "--dt", "1e-3",
+            "--num-steps", "2", "--extra-vars",
+        ]
+        p1 = generate.main_mcwilliams(
+            common + ["--filepath", str(tmp_path / "single")]
+        )
+        p2 = generate.main_mcwilliams(
+            common + ["--filepath", str(tmp_path / "dp"), "--data-parallel"]
+        )
+        with np.load(p1) as a, np.load(p2) as b:
+            assert set(a.files) == set(b.files)
+            for k in a.files:
+                x, y = a[k], b[k]
+                if x.dtype.kind in "iu":
+                    np.testing.assert_array_equal(x, y)
+                    continue
+                # SPMD partitioning reorders fp32 FFT reductions; measured
+                # max deviation is ~1e-4 of the field scale (residual, the
+                # difference-of-large-terms field) and <1e-6 for the rest
+                scale = np.abs(x).max()
+                np.testing.assert_allclose(
+                    x, y, rtol=0, atol=5e-4 * scale,
+                    err_msg=f"field {k} differs under --data-parallel",
+                )
+
+
 class TestSpatialSharding:
     def test_pencil_sharded_solver_step_equals_replicated(self, mesh):
         """A spectral solver step with one spatial axis sharded over "model"

@@ -110,6 +110,10 @@ def get_args_ns2d(desc: str = "NSE 2D data generation") -> argparse.ArgumentPars
     p.add_argument("--no-tqdm", action="store_true", default=False)
     p.add_argument("--demo-plots", action="store_true", default=False)
     p.add_argument("--seed", type=int, default=1127802, help="base RNG seed")
+    p.add_argument("--data-parallel", action="store_true", default=False,
+                   help="shard each generation batch over all available "
+                        "devices (per-sample fold_in seeding keeps results "
+                        "device-count-invariant)")
     return p
 
 

@@ -117,16 +117,22 @@ def load_trajectory_dict(
             for k, v in data.items()
         }
     elif path.suffix == ".mat":
-        try:
-            import scipy.io as sio
+        # MATLAB ≥v7.3 files are HDF5 (column-major storage, hence the
+        # transpose); older versions go through scipy.io. The FNO-paper
+        # datasets (ns_V1e-3_N5000_T50.mat etc.) ship in both vintages.
+        import h5py
 
-            return {k: np.asarray(v) for k, v in sio.loadmat(path).items()
-                    if not k.startswith("__")}
-        except (ImportError, NotImplementedError):
-            import h5py
-
+        if h5py.is_hdf5(path):
             with h5py.File(path, "r") as f:
-                return {k: np.asarray(f[k]).T for k in f.keys()}
+                return {
+                    k: np.asarray(f[k]).T
+                    for k in f.keys()
+                    if isinstance(f[k], h5py.Dataset)
+                }
+        import scipy.io as sio
+
+        return {k: np.asarray(v) for k, v in sio.loadmat(path).items()
+                if not k.startswith("__")}
     raise ValueError(f"unsupported data format: {path.suffix}")
 
 
@@ -164,13 +170,23 @@ class SpatioTemporalDataset:
         )
         data = {k: np.asarray(v) for k, v in data.items() if k in self.fields}
         # datasets generated without --extra-vars store auxiliary fields as
-        # empty arrays — drop them so the default fields degrade gracefully
+        # empty arrays — drop them so the default fields degrade gracefully,
+        # but a requested field with no key at all (typo, or a dataset that
+        # never recorded it) is a real mismatch and must be surfaced
+        absent = [f for f in self.fields if f not in data]
         data = {k: v for k, v in data.items() if v.size}
-        missing = [f for f in self.fields if f not in data]
-        if self.fields[0] in missing:
+        if self.fields[0] not in data:
             raise KeyError(
                 f"primary field {self.fields[0]!r} not in dataset "
                 f"(available: {sorted(data)})"
+            )
+        if absent:
+            import warnings
+
+            warnings.warn(
+                f"requested fields {absent} not present in dataset "
+                f"(available: {sorted(data)}); proceeding without them",
+                stacklevel=2,
             )
         self.fields = [f for f in self.fields if f in data]
         first = data[self.fields[0]]

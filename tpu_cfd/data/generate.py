@@ -17,6 +17,10 @@ Usage (mirrors the reference's flags):
       --time-warmup 4.5 --dt 1e-3 --num-steps 100
   python -m tpu_cfd.data.generate kolmogorov ...
   python -m tpu_cfd.data.generate fno --alpha 2.5 --tau 7 ...
+
+``--data-parallel`` shards each generation batch over every available device
+(mesh + NamedSharding on the sample axis); per-sample ``fold_in`` seeding
+keeps the stored dataset device-count-invariant up to fp32 reduction order.
 """
 
 from __future__ import annotations
@@ -143,8 +147,12 @@ def run_generation(
     if args.filename is None:
         extra = "_extra" if args.extra_vars else ""
         dtype_str = "_fp64" if args.double else ""
+        # subsampled runs are named "{n}to{ns}" (solve resolution -> stored
+        # resolution) so the train CLI's DATA_FILES registry resolves them
+        # out of the box; same-resolution runs keep the "{ns}x{ns}" form
+        res = f"{n}to{ns}" if subsample > 1 else f"{ns}x{ns}"
         args.filename = (
-            f"{example_name}{extra}{dtype_str}_{ns}x{ns}_N{args.num_samples}"
+            f"{example_name}{extra}{dtype_str}_{res}_N{args.num_samples}"
             f"_v{visc:.0e}_T{int(T)}_steps{record_steps}.npz"
         ).replace("e-0", "e-")
     data_filepath = os.path.join(filepath, args.filename)
@@ -199,6 +207,26 @@ def run_generation(
         f"(resuming from {existing}) -> {data_filepath}"
     )
 
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        # shard the sample batch over every available device: each device
+        # rolls out batch/n_dev trajectories of the same compiled program.
+        # Seeding stays per-sample (fold_in below), so the stored dataset is
+        # bit-identical whatever the device count — including 1.
+        from tpu_cfd.parallel import make_mesh
+
+        mesh = make_mesh()
+        logger.info(
+            f"data-parallel over {mesh.shape['data']} device(s): {mesh}"
+        )
+
+    def _maybe_shard(batch_array):
+        if mesh is None or batch_array.shape[0] % mesh.shape["data"] != 0:
+            return batch_array
+        from tpu_cfd.parallel import shard_batch
+
+        return shard_batch(batch_array, mesh)
+
     for b in range(num_batches):
         idx0 = existing + b * batch_size
         sample_ids = np.arange(idx0, min(idx0 + batch_size, args.num_samples))
@@ -206,7 +234,7 @@ def run_generation(
         logger.info(
             f"batch [{b + 1}/{num_batches}] samples {sample_ids[0]}..{sample_ids[-1]}"
         )
-        vort_init = make_ic_jit(keys)
+        vort_init = make_ic_jit(_maybe_shard(keys))
         vort_hat = jnp.fft.rfft2(vort_init)
         result = pipeline(vort_hat)
         result = {k: np.asarray(v, dtype=save_dtype) for k, v in result.items()}

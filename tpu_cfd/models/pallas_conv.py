@@ -270,13 +270,15 @@ def _t_mats(nt: int, mt: int):
 
 
 def _scale_for(norm: str, n_mesh: int) -> float:
+    # Only "backward" is supported: the unnormalized forward DFT pairs with
+    # a 1/n_mesh inverse. Other fft norms would need the factor folded into
+    # dft_modes AND a consistently-scaled bias (the bias is added pre-inverse),
+    # which no caller exercises — reject rather than return a wrong scale.
     if norm == "backward":
         return 1.0 / n_mesh
-    if norm == "forward":
-        return 1.0
-    if norm == "ortho":  # same-mesh: 1/(sqrt(n_fwd) * sqrt(n_out))
-        return 1.0 / n_mesh
-    raise ValueError(f"unknown norm {norm}")
+    raise NotImplementedError(
+        f"fused_spectral_conv_s supports norm='backward' only, got {norm!r}"
+    )
 
 
 def fused_spectral_conv_s(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 from datetime import datetime
 
 import jax
@@ -44,8 +45,8 @@ DATA_FILES = {
         "test": "fnodata_extra_fp64_256x256_N16_v1e-3_T50_steps100.npz",
     },
     "McWilliams2d": {
-        "train": "McWilliams2d_64x64_N1152_v1e-3_T10_steps100.npz",
-        "valid": "McWilliams2d_64x64_N1152_v1e-3_T10_steps100.npz",
+        "train": "McWilliams2d_256to64_N1152_v1e-3_T10_steps100.npz",
+        "valid": "McWilliams2d_256to64_N1152_v1e-3_T10_steps100.npz",
         "test": "McWilliams2d_fp64_256x256_N16_v1e-3_T10_steps100.npz",
     },
 }
@@ -57,10 +58,14 @@ def _resolve_data(example: str, split: str, override: str = None) -> str:
     fname = DATA_FILES[example][split]
     path = os.path.join(DATA_PATH, fname)
     if not os.path.exists(path):
-        # fall back to the reference's .pt naming (datasets read both)
-        alt = path.replace(".npz", ".pt")
-        if os.path.exists(alt):
-            return alt
+        # legacy generate.py naming: subsampled sets were "{ns}x{ns}" before
+        # the "{n}to{ns}" convention — accept files already on disk
+        legacy = re.sub(r"_\d+to(\d+)_", r"_\1x\1_", path)
+        # the reference's .pt naming (datasets read both)
+        for alt in (legacy, path.replace(".npz", ".pt"),
+                    legacy.replace(".npz", ".pt")):
+            if os.path.exists(alt):
+                return alt
     return path
 
 
