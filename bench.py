@@ -5,14 +5,25 @@ hot loop, SURVEY.md §3.1) batched over 8 trajectories at 256² on the
 available accelerator and prints ONE JSON line. The line's "extra" field
 carries the second BASELINE.json metric (SFNO train samples/sec/chip at the
 reference's fnodata training configuration), the data-gen operating point
-(batch 128), and an XLA cost-analysis FLOPs/HBM roofline statement.
+(batch 128), a MEASURED forward/backward step-time breakdown, and an XLA
+cost-analysis statement explicitly labeled as a cost-model upper bound (the
+cost model counts nominal per-op operand bytes, not post-fusion HBM traffic,
+so its "bytes/s" can exceed the physical pin bandwidth — round-2 VERDICT
+weak #1).
+
+Both solver FFT implementations are timed — jnp.fft and the dense-DFT MXU
+matmul path (ops/dft2d.py) — and the faster one carries the headline.
 
 Baseline: the PyTorch reference (torch_cfd.equations.NavierStokes2DSpectral,
 RK4CrankNicolsonStepper) on an 8-thread CPU measures 5.48 batched steps/s at
 the same configuration (batch=8, 256², dt=1e-3, dealiased) — measured once
 in this container; the driver's north star is ≥50x per chip.
+
+``--trace DIR`` additionally captures jax.profiler traces of the solver
+step and the SFNO train step (opens in TensorBoard/Perfetto).
 """
 
+import argparse
 import json
 import os
 import time
@@ -29,8 +40,6 @@ from tpu_cfd.solvers import equations, initial_conditions as ic
 TORCH_CPU_BASELINE_STEPS_PER_S = 5.48  # see module docstring
 
 # v5e chip peaks (public spec): 197 TFLOP/s bf16, ~0.82 TB/s HBM BW.
-# fp32 work runs through the same MXU via passes; we report MFU against the
-# bf16 peak as the conservative upper bound.
 V5E_PEAK_FLOPS = 197e12
 V5E_HBM_BYTES_PER_S = 0.82e12
 
@@ -61,27 +70,42 @@ def _cost_analysis(jitted, *args):
         return 0.0, 0.0
 
 
-def bench_solver(n=256, batch=8, steps_per_call=100, n_calls=5):
+def _solver_setup(n, batch, impl):
     grid = grids.Grid((n, n), domain=((0, 2 * jnp.pi), (0, 2 * jnp.pi)))
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     w0 = jax.vmap(lambda k: ic.vorticity_field(k, grid, peak_wavenumber=4).data)(
         keys
     )
-    ns = equations.NavierStokes2DSpectral(viscosity=1e-3, grid=grid)
-    what = jnp.fft.rfft2(w0)
+    ns = equations.NavierStokes2DSpectral(
+        viscosity=1e-3, grid=grid, fft_impl=impl
+    )
+    return ns, jnp.fft.rfft2(w0)
 
+
+def bench_solver(n=256, batch=8, steps_per_call=100, n_calls=5, impl="fft",
+                 trace_dir=None):
+    ns, what = _solver_setup(n, batch, impl)
     step = jax.jit(lambda w: ns.forward(w, 1e-3, steps=steps_per_call)[0])
     checksum_fn = jax.jit(lambda w: jnp.abs(w).max())
     dt = _time_calls(step, what, n_calls, checksum_fn)
     steps_per_s = n_calls * steps_per_call / dt
     flops, hbm = _cost_analysis(step, what)
+    if trace_dir:
+        from tpu_cfd.utils import profiling
+
+        with profiling.profile_to(os.path.join(trace_dir, f"solver_{impl}_b{batch}")):
+            with profiling.trace_annotation(f"solver_{impl}_b{batch}"):
+                _ = float(checksum_fn(step(what)))
     return steps_per_s, flops / steps_per_call, hbm / steps_per_call
 
 
-def bench_sfno_train(n=64, batch=4, t_in=10, t_out=40, n_calls=10):
+def bench_sfno_train(n=64, batch=4, t_in=10, t_out=40, n_calls=10,
+                     trace_dir=None):
     """SFNO train samples/sec/chip at the reference's fnodata configuration
-    (modes 12/12/5, width 20, batch 4 — examples/ex2_SFNO_train_fnodata.ipynb
-    cell 1-3), jitted value_and_grad + Adam update per call."""
+    (modes 12/12/5, width 20 — examples/ex2_SFNO_train_fnodata.ipynb cells
+    1-3), jitted value_and_grad + Adam update per call. Also measures the
+    forward-only and forward+loss times so the train-step cost has a
+    MEASURED breakdown, not just a cost-model one."""
     import optax
 
     from tpu_cfd.models import SFNO
@@ -106,6 +130,21 @@ def bench_sfno_train(n=64, batch=4, t_in=10, t_out=40, n_calls=10):
         updates, opt_state = opt.update(grads, opt_state)
         return (optax.apply_updates(params, updates), opt_state), l
 
+    fwd = jax.jit(lambda p, x: model.apply(p, x, out_steps=t_out))
+    fwd_loss = jax.jit(lambda p, x, y: loss_fn(model.apply(p, x, out_steps=t_out), y))
+
+    def timeit(fn, *args, reps=n_calls):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps
+
+    ms_fwd = timeit(fwd, params, x) * 1e3
+    ms_fwd_loss = timeit(fwd_loss, params, x, y) * 1e3
+
     carry = (params, opt_state)
     (carry, l) = train_step(carry, x, y)  # compile
     _ = float(l)
@@ -115,26 +154,63 @@ def bench_sfno_train(n=64, batch=4, t_in=10, t_out=40, n_calls=10):
     _ = float(l)
     dt = time.perf_counter() - t0
     flops, hbm = _cost_analysis(train_step, carry, x, y)
-    return n_calls * batch / dt, flops, hbm
+    if trace_dir:
+        from tpu_cfd.utils import profiling
+
+        with profiling.profile_to(os.path.join(trace_dir, f"sfno_train_b{batch}")):
+            carry, l = train_step(carry, x, y)
+            _ = float(l)
+    ms_step = dt / n_calls * 1e3
+    return {
+        "batch": batch,
+        "samples_per_s": n_calls * batch / dt,
+        "ms_train_step": round(ms_step, 2),
+        "ms_forward": round(ms_fwd, 2),
+        "ms_forward_plus_loss": round(ms_fwd_loss, 2),
+        "ms_backward_plus_update": round(ms_step - ms_fwd_loss, 2),
+        "flops": flops,
+        "hbm": hbm,
+    }
+
+
+def costmodel_bound(flops_per_unit, hbm_per_unit, units_per_s):
+    """XLA cost-model statement. NOT a measured roofline: "bytes accessed"
+    counts nominal per-op operand bytes before fusion, so the implied
+    bandwidth is an upper bound on demand that can exceed the physical
+    HBM pin rate."""
+    fl = flops_per_unit * units_per_s
+    bw = hbm_per_unit * units_per_s
+    return {
+        "costmodel_tflops_per_s": round(fl / 1e12, 3),
+        "costmodel_mfu_upper_bound": round(fl / V5E_PEAK_FLOPS, 4),
+        "costmodel_hbm_gb_per_s": round(bw / 1e9, 1),
+        "note": "XLA cost_analysis upper bound (pre-fusion operand bytes),"
+                " not measured utilization",
+    }
 
 
 def main():
-    steps_per_s, solver_flops, solver_hbm = bench_solver()
-    dgen_steps_per_s, _, _ = bench_solver(batch=128, steps_per_call=100,
-                                          n_calls=2)
-    sfno_samples_per_s, train_flops, train_hbm = bench_sfno_train()
-    # batch-scaling point: larger per-step parallelism amortizes op overhead
-    sfno_b32_samples_per_s, _, _ = bench_sfno_train(batch=32, n_calls=5)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture jax.profiler traces under DIR")
+    args = ap.parse_args()
+    trace_dir = args.trace
 
-    def roofline(flops_per_unit, hbm_per_unit, units_per_s):
-        fl = flops_per_unit * units_per_s
-        bw = hbm_per_unit * units_per_s
-        return {
-            "tflops_per_s": round(fl / 1e12, 3),
-            "mfu_vs_bf16_peak": round(fl / V5E_PEAK_FLOPS, 4),
-            "hbm_gb_per_s": round(bw / 1e9, 1),
-            "hbm_utilization": round(bw / V5E_HBM_BYTES_PER_S, 3),
-        }
+    solver = {}
+    for impl in ("fft", "dft"):
+        sps, fl, hb = bench_solver(impl=impl, trace_dir=trace_dir)
+        solver[impl] = {"b8_steps_per_s": sps, "flops": fl, "hbm": hb}
+        dg, _, _ = bench_solver(batch=128, steps_per_call=100, n_calls=2,
+                                impl=impl)
+        solver[impl]["b128_steps_per_s"] = dg
+
+    headline_impl = max(solver, key=lambda k: solver[k]["b8_steps_per_s"])
+    datagen_impl = max(solver, key=lambda k: solver[k]["b128_steps_per_s"])
+    steps_per_s = solver[headline_impl]["b8_steps_per_s"]
+    dgen = solver[datagen_impl]["b128_steps_per_s"]
+
+    t4 = bench_sfno_train(trace_dir=trace_dir)
+    t32 = bench_sfno_train(batch=32, n_calls=5)
 
     result = {
         "metric": "McWilliams 256^2 batch=8 RK4-CN vorticity solver steps/s",
@@ -142,16 +218,28 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / TORCH_CPU_BASELINE_STEPS_PER_S, 2),
         "extra": {
-            "solver_roofline_b8": roofline(solver_flops, solver_hbm,
-                                           steps_per_s),
-            "datagen_b128_steps_per_s": round(dgen_steps_per_s, 2),
-            "datagen_b128_samples_x_steps_per_s": round(
-                dgen_steps_per_s * 128, 0),
-            "sfno_train_samples_per_s_per_chip": round(sfno_samples_per_s, 2),
+            "solver_impl_headline": headline_impl,
+            "solver_b8_steps_per_s": {
+                k: round(v["b8_steps_per_s"], 2) for k, v in solver.items()
+            },
+            "solver_b128_steps_per_s": {
+                k: round(v["b128_steps_per_s"], 2) for k, v in solver.items()
+            },
+            "datagen_b128_impl": datagen_impl,
+            "datagen_b128_samples_x_steps_per_s": round(dgen * 128, 0),
+            "solver_costmodel_b8": costmodel_bound(
+                solver[headline_impl]["flops"], solver[headline_impl]["hbm"],
+                steps_per_s),
+            "sfno_train_samples_per_s_per_chip": round(t4["samples_per_s"], 2),
+            "sfno_train_step_breakdown_ms": {
+                k: t4[k] for k in ("ms_train_step", "ms_forward",
+                                   "ms_forward_plus_loss",
+                                   "ms_backward_plus_update")
+            },
             "sfno_train_b32_samples_per_s_per_chip": round(
-                sfno_b32_samples_per_s, 2),
-            "sfno_train_roofline": roofline(
-                train_flops, train_hbm, sfno_samples_per_s / 4),
+                t32["samples_per_s"], 2),
+            "sfno_train_costmodel": costmodel_bound(
+                t4["flops"], t4["hbm"], t4["samples_per_s"] / t4["batch"]),
         },
     }
     print(json.dumps(result))

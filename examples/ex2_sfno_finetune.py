@@ -86,6 +86,13 @@ def main(argv=None):
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--test-file", type=str, default=None)
     p.add_argument("--t-start", type=int, default=None)
+    p.add_argument("--lr-decay", type=float, default=None,
+                   help="exponential lr decay over the run (end/start ratio, "
+                        "e.g. 0.1); default: constant lrs as in the notebook")
+    p.add_argument("--gt-floor", action="store_true",
+                   help="also report the residual norm of the GROUND-TRUTH "
+                        "trajectory through the same ±dt CN solves — the "
+                        "discretization floor of the metric itself")
     args = p.parse_args(argv)
 
     cfg = CONFIGS[args.example]
@@ -144,13 +151,36 @@ def main(argv=None):
         alpha=10 ** (-3 / 2), freq_cutoff=n // 2 + 1, diam=diam,
     )
     f = make_forcing(cfg["forcing"], n, dtype)
+
+    if args.gt_floor:
+        # residual of the exact solver trajectory itself under the SAME
+        # ±dt CN derivative estimate and norm: the metric's discretization
+        # floor — no predicted trajectory can be expected below it
+        gt_out = finetune.fine_tune_post(
+            w_gt, f, visc=ft_kws["visc"], dt=ft_kws["dt"],
+            diam=diam, bdf_weight=ft_kws["bdf_weight"],
+        )
+        print(
+            "GT-trajectory residual (discretization floor): "
+            f"{float(res_hm1(gt_out['residual'])):.3e}"
+        )
+        if iters == 0:
+            return None
+
+    lr_weight = args.lr_weight
+    if args.lr_decay is not None:
+        import optax
+
+        lr_weight = optax.exponential_decay(args.lr_weight, iters, args.lr_decay)
+        lr_bias = optax.exponential_decay(lr_bias, iters, args.lr_decay)
+
     track = lambda o: {
         "l2_vs_gt": l2_rel(o["w"], w_gt),
         "l2_vs_noft": l2_rel(o["w"], pred_no),
     }
     ft_params, hist = finetune.finetune_steps(
         qft, ft_params, v_latent, w_in, f, out_steps=T_out,
-        n_steps=iters, lr=args.lr_weight, lr_bias=lr_bias,
+        n_steps=iters, lr=lr_weight, lr_bias=lr_bias,
         residual_norm=res_hm1, track=track,
     )
     for i, h in enumerate(hist):
@@ -159,9 +189,12 @@ def main(argv=None):
                 f"iter {i:3d} | Res Hm1 {h['residual']:.3e} | "
                 f"|ft-gt| {h['l2_vs_gt']:.3e} | |ft-noft| {h['l2_vs_noft']:.3e}"
             )
-    final = hist[-1]["residual"]
-    print(f"final residual (alpha-weighted H^-1, {iters} iters): {final:.3e}")
-    return final
+    # finetune_steps returns the best-residual iterate (the adam tail is
+    # non-monotonic at the discretization floor) — report what it achieves
+    best = min(h["residual"] for h in hist)
+    print(f"last-iterate residual: {hist[-1]['residual']:.3e}")
+    print(f"best residual (alpha-weighted H^-1, {iters} iters): {best:.3e}")
+    return best
 
 
 if __name__ == "__main__":

@@ -261,3 +261,74 @@ class TestLearnableStepperCoeffs:
             stepper.with_coeffs(coeffs)(what, 1e-2, ns),
             stepper(what, 1e-2, ns),
         )
+
+
+class TestDFTMatmulSolverPath:
+    """fft_impl="dft" (ops/dft2d.py MXU matmuls) must reproduce the jnp.fft
+    path — the solver's TPU production path is chosen by benchmark, so both
+    must stay numerically interchangeable."""
+
+    def test_dft2d_matches_jnp_fft(self):
+        from tpu_cfd.ops import dft2d
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 3, 32, 32))
+        np.testing.assert_allclose(
+            np.asarray(dft2d.rfft2_matmul(jnp.asarray(x))),
+            np.fft.rfft2(x), rtol=1e-10, atol=1e-10,
+        )
+        X = np.fft.rfft2(x)
+        np.testing.assert_allclose(
+            np.asarray(dft2d.irfft2_matmul(jnp.asarray(X))),
+            np.fft.irfft2(X, s=(32, 32)), rtol=1e-10, atol=1e-12,
+        )
+
+    @pytest.mark.parametrize("forced", [False, True])
+    def test_solver_rollout_parity(self, forced):
+        n, batch, steps = 32, 2, 20
+        grid = grids.Grid((n, n), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        forcing = (
+            forcings.KolmogorovForcing(grid=grid, scale=1.0, wave_number=2,
+                                       diam=2 * np.pi, vorticity=False)
+            if forced else None
+        )
+        keys = jax.random.split(jax.random.PRNGKey(0), batch)
+        w0 = jax.vmap(
+            lambda k: ic.vorticity_field(k, grid, 4, dtype=jnp.float64).data
+        )(keys)
+        what = jnp.fft.rfft2(w0)
+
+        outs = {}
+        for impl in ("fft", "dft"):
+            ns = equations.NavierStokes2DSpectral(
+                viscosity=1e-3, grid=grid, drag=0.1 if forced else 0.0,
+                forcing_fn=forcing, dtype=jnp.float64, fft_impl=impl,
+            )
+            outs[impl] = np.asarray(
+                jax.jit(lambda w, e=ns: e.forward(w, 1e-3, steps=steps)[0])(what)
+            )
+        np.testing.assert_allclose(
+            outs["dft"], outs["fft"], rtol=1e-9, atol=1e-11,
+        )
+
+    def test_solver_gradient_parity(self):
+        """Data-gen shares kernels with differentiable fine-tuning — the dft
+        path must carry the same gradients."""
+        n = 16
+        grid = grids.Grid((n, n), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        w0 = jax.random.normal(jax.random.PRNGKey(3), (n, n), jnp.float64)
+        what = jnp.fft.rfft2(w0)
+
+        grads = {}
+        for impl in ("fft", "dft"):
+            ns = equations.NavierStokes2DSpectral(
+                viscosity=1e-3, grid=grid, dtype=jnp.float64, fft_impl=impl,
+            )
+
+            def loss(w, e=ns):
+                out = e.forward(w, 1e-3, steps=3)[0]
+                return (jnp.abs(out) ** 2).mean()
+
+            grads[impl] = np.asarray(jax.jit(jax.grad(loss))(what))
+        np.testing.assert_allclose(grads["dft"], grads["fft"],
+                                   rtol=1e-8, atol=1e-12)

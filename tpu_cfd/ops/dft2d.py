@@ -1,0 +1,115 @@
+"""rfft2/irfft2 as dense DFT matmuls — the MXU path for the spectral solver.
+
+XLA's TPU FFT lowering leaves the MXU idle (BENCH_r02: the RK4-CN solver ran
+at 0.12% MFU and scaled INVERSELY with batch). A 256² transform is small
+enough that the O(n³) dense-DFT formulation is a win on a systolic array:
+each transform becomes two ``(n, n)``-by-``(n, m)`` matmuls that tile
+perfectly onto the MXU, batch-parallel over all leading dims, with the
+real/half-complex structure exploited so no flops are spent multiplying
+explicit zeros.
+
+Matches ``jnp.fft.rfft2`` / ``jnp.fft.irfft2`` semantics on square trailing
+axes (norm="backward"). Matrices are host-side numpy constants (CLAUDE.md
+invariant: device arrays closed over by jit fail to embed on this backend);
+``jnp.asarray`` at trace time folds them into the program.
+
+No reference counterpart — the reference's hot loop calls torch.fft
+(equations.py:413-438); this module is the TPU-native redesign of that load.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+@functools.lru_cache(maxsize=None)
+def _mats(n: int, dtype_str: str):
+    """Host-side DFT matrices for an n-point axis (m = n//2+1 half spectrum).
+
+    Returns dict of float arrays:
+      fwd_last_re/im:  (n, m)  real input -> half spectrum (last axis)
+      fwd_first_re/im: (n, n)  full DFT along the first (row) axis
+      inv_first_re/im: (n, n)  inverse full DFT (rows), 1/n normalized
+      inv_last_re/im:  (m, n)  half spectrum -> real output, Hermitian
+                               multiplicities folded in, 1/n normalized
+    """
+    f = np.float64 if dtype_str == "float64" else np.float32
+    m = n // 2 + 1
+    j = np.arange(n)
+    k = np.arange(m)
+    ang_last = 2 * np.pi * np.outer(j, k) / n          # (n, m)
+    ang_first = 2 * np.pi * np.outer(j, j) / n         # (n, n)
+    # Hermitian multiplicities for the inverse last axis: DC and Nyquist
+    # count once, interior modes twice (their conjugates are implicit)
+    w = np.full((m,), 2.0)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    return {
+        "fwd_last_re": np.cos(ang_last).astype(f),
+        "fwd_last_im": (-np.sin(ang_last)).astype(f),
+        "fwd_first_re": np.cos(ang_first).astype(f),
+        "fwd_first_im": (-np.sin(ang_first)).astype(f),
+        "inv_first_re": (np.cos(ang_first) / n).astype(f),
+        "inv_first_im": (np.sin(ang_first) / n).astype(f),
+        "inv_last_re": ((w[:, None] * np.cos(ang_last.T)) / n).astype(f),
+        "inv_last_im": ((-w[:, None] * np.sin(ang_last.T)) / n).astype(f),
+    }
+
+
+def _precision(p):
+    if isinstance(p, str):
+        return getattr(jax.lax.Precision, p.upper())
+    return p
+
+
+def rfft2_matmul(x: Array, precision="highest") -> Array:
+    """``jnp.fft.rfft2`` over the last two axes via MXU matmuls.
+
+    x: real ``(..., n, n)`` -> complex ``(..., n, n//2+1)``.
+    """
+    n = x.shape[-1]
+    assert x.shape[-2] == n, "square trailing axes required"
+    M = _mats(n, str(x.dtype))
+    P = _precision(precision)
+    dot = functools.partial(jnp.einsum, precision=P)
+    # last axis: real -> half complex (2 real matmuls, no zero-imag flops)
+    yre = dot("...xj,jk->...xk", x, jnp.asarray(M["fwd_last_re"]))
+    yim = dot("...xj,jk->...xk", x, jnp.asarray(M["fwd_last_im"]))
+    # first axis: full complex DFT (4 real matmuls)
+    Fre = jnp.asarray(M["fwd_first_re"])
+    Fim = jnp.asarray(M["fwd_first_im"])
+    zre = dot("Xx,...xk->...Xk", Fre, yre) - dot("Xx,...xk->...Xk", Fim, yim)
+    zim = dot("Xx,...xk->...Xk", Fre, yim) + dot("Xx,...xk->...Xk", Fim, yre)
+    return jax.lax.complex(zre, zim)
+
+
+def irfft2_matmul(x: Array, precision="highest") -> Array:
+    """``jnp.fft.irfft2`` over the last two axes via MXU matmuls.
+
+    x: complex ``(..., n, n//2+1)`` -> real ``(..., n, n)``.
+    """
+    n = x.shape[-2]
+    assert x.shape[-1] == n // 2 + 1, "half-spectrum trailing axis required"
+    dtype_str = "float64" if x.dtype == jnp.complex128 else "float32"
+    M = _mats(n, dtype_str)
+    P = _precision(precision)
+    dot = functools.partial(jnp.einsum, precision=P)
+    xre, xim = jnp.real(x), jnp.imag(x)
+    # first axis: inverse full DFT (4 real matmuls)
+    Gre = jnp.asarray(M["inv_first_re"])
+    Gim = jnp.asarray(M["inv_first_im"])
+    yre = dot("xX,...Xk->...xk", Gre, xre) - dot("xX,...Xk->...xk", Gim, xim)
+    yim = dot("xX,...Xk->...xk", Gre, xim) + dot("xX,...Xk->...xk", Gim, xre)
+    # last axis: half complex -> real with Hermitian weights (2 real
+    # matmuls): x[j] = (1/n) Σ_k w_k (Yre cosθ - Yim sinθ), θ = 2πjk/n —
+    # inv_last_im already carries the -sin, so both terms ADD
+    out = dot("...xk,kj->...xj", yre, jnp.asarray(M["inv_last_re"]))
+    out = out + dot("...xk,kj->...xj", yim, jnp.asarray(M["inv_last_im"]))
+    return out

@@ -209,6 +209,26 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
     forcing_fn: Optional[object] = None
     solver: Optional[IMEXStepper] = None
     dtype: object = jnp.float32
+    # "dft" runs the rfft2/irfft2 pairs as dense DFT matmuls on the MXU
+    # (ops/dft2d.py) — XLA's TPU FFT lowering leaves the chip ~99% idle and
+    # scales inversely with batch; "fft" is the jnp.fft reference path.
+    fft_impl: str = "fft"
+    # MXU precision for the dft path ("highest" = full fp32)
+    mxu_precision: str = "highest"
+
+    def _irfft2(self, x: Array) -> Array:
+        if self.fft_impl == "dft":
+            from tpu_cfd.ops import dft2d
+
+            return dft2d.irfft2_matmul(x, self.mxu_precision)
+        return jnp.fft.irfft2(x, s=self.grid.shape)
+
+    def _rfft2(self, x: Array) -> Array:
+        if self.fft_impl == "dft":
+            from tpu_cfd.ops import dft2d
+
+            return dft2d.rfft2_matmul(x, self.mxu_precision)
+        return jnp.fft.rfft2(x)
 
     def __post_init__(self):
         if self.solver is None:
@@ -227,27 +247,30 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
         grad_x_hat = 2j * jnp.pi * self.kx * vort_hat
         grad_y_hat = 2j * jnp.pi * self.ky * vort_hat
         # one batched inverse transform instead of four: ~17% faster per
-        # stage on TPU (XLA dispatches a single FFT kernel over the stack)
+        # stage on TPU (XLA dispatches a single FFT kernel over the stack);
+        # on the dft path the stack is one big batched MXU matmul
         specs = jnp.stack([vhat[0], vhat[1], grad_x_hat, grad_y_hat])
-        phys = jnp.fft.irfft2(specs, s=self.grid.shape)
+        phys = self._irfft2(specs)
         vx, vy, grad_x, grad_y = phys
 
         advection = -(grad_x * vx + grad_y * vy)
-        advection_hat = jnp.fft.rfft2(advection)
+        advection_hat = self._rfft2(advection)
 
         if self.smooth:
             advection_hat = advection_hat * self.filter
 
         terms = advection_hat
         if self.forcing_fn is not None:
+            # forcing meshes default to float32; transform at the solver
+            # dtype so fp64 runs stay fp64 end-to-end
             if not self.forcing_fn.vorticity:
                 fx, fy = self.forcing_fn(self.grid, (vx, vy))
-                fx_hat = jnp.fft.rfft2(fx.data)
-                fy_hat = jnp.fft.rfft2(fy.data)
+                fx_hat = self._rfft2(fx.data.astype(vx.dtype))
+                fy_hat = self._rfft2(fy.data.astype(vx.dtype))
                 terms = terms + spectral_curl_2d((fx_hat, fy_hat), (self.kx, self.ky))
             else:
                 f = self.forcing_fn(self.grid, vort_hat)
-                f_hat = jnp.fft.rfft2(f.data)
+                f_hat = self._rfft2(f.data.astype(vx.dtype))
                 terms = terms + f_hat
         return terms
 

@@ -274,6 +274,7 @@ def finetune_steps(
     lr_bias: Optional[float] = None,
     residual_norm=None,
     track=None,
+    keep_best: bool = True,
 ):
     """Adam refinement of the output conv against the PDE residual norm.
 
@@ -284,6 +285,12 @@ def finetune_steps(
     optimizer. ``track(out)->dict`` computes extra per-step metrics from the
     forward output (e.g. L2 vs ground truth). Returns (params, history) —
     history entries are dicts when ``track`` is given, else floats.
+
+    ``keep_best`` returns the best-residual iterate instead of the last one:
+    the adam tail is non-monotonic at the discretization floor (round-2 run:
+    2.89e-6 at iter 30 → 3.57e-6 at 40), so last-iterate reporting throws
+    away converged solutions the loop already visited. The loop evaluates
+    the post-update params once more so the final point also competes.
     """
     if residual_norm is None:
         from tpu_cfd.train.losses import BochnerNorm
@@ -298,23 +305,44 @@ def finetune_steps(
     )
     opt_state = opt.init(params)
 
+    def loss_fn(p):
+        out = model.apply(p, v_latent, v_res, f, out_steps=out_steps)
+        return residual_norm(out["residual"]), out
+
     @jax.jit
     def step(params, opt_state):
-        def loss_fn(p):
-            out = model.apply(p, v_latent, v_res, f, out_steps=out_steps)
-            return residual_norm(out["residual"]), out
-
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state)
         extras = track(out) if track is not None else {}
         return optax.apply_updates(params, updates), opt_state, loss, extras
 
+    @jax.jit
+    def eval_only(p):
+        loss, out = loss_fn(p)
+        return loss, (track(out) if track is not None else {})
+
     history = []
+    best_loss, best_params = np.inf, params
     for _ in range(n_steps):
-        params, opt_state, loss, extras = step(params, opt_state)
+        new_params, opt_state, loss, extras = step(params, opt_state)
+        loss = float(loss)  # loss is evaluated at the PRE-update params
+        if keep_best and loss < best_loss:
+            best_loss, best_params = loss, params
+        params = new_params
         if track is not None:
-            history.append({"residual": float(loss),
+            history.append({"residual": loss,
                             **{k: float(v) for k, v in extras.items()}})
         else:
-            history.append(float(loss))
+            history.append(loss)
+    if keep_best:
+        final_loss, extras = eval_only(params)
+        final_loss = float(final_loss)
+        if track is not None:
+            history.append({"residual": final_loss,
+                            **{k: float(v) for k, v in extras.items()}})
+        else:
+            history.append(final_loss)
+        if final_loss < best_loss:
+            best_loss, best_params = final_loss, params
+        return best_params, history
     return params, history
