@@ -16,9 +16,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +50,8 @@ def chain_scan(body, w0, iters):
     chk = float(jnp.abs(out).max())  # host fetch forces completion
     dt = time.perf_counter() - t0
     assert np.isfinite(chk)
+    print(f"  [{time.strftime('%H:%M:%S')}] {dt/iters*1e3:9.3f} ms/op",
+          flush=True)
     return dt / iters
 
 
@@ -59,6 +63,49 @@ def make_state(n, batch):
     return grid, ns, jnp.fft.rfft2(w0)
 
 
+def scaling_mode(n, batch, impl="fft"):
+    """Separates per-CALL dispatch latency from per-ITERATION device time by
+    timing scan programs of several lengths: t(call) = a + len * b."""
+    grid, ns, what = make_state(n, batch)
+    if impl == "dft":
+        ns = equations.NavierStokes2DSpectral(
+            viscosity=1e-3, grid=grid, fft_impl="dft"
+        )
+    dt = 1e-3
+
+    def timed_call(length, reps=4):
+        @jax.jit
+        def run(w):
+            out, _ = jax.lax.scan(
+                lambda c, _: (ns.solver(c, dt, ns), None), w, None,
+                length=length,
+            )
+            return out
+
+        out = run(what)
+        _ = float(jnp.abs(out).max())
+        t0 = time.perf_counter()
+        w = what
+        for _ in range(reps):
+            w = run(w)
+        _ = float(jnp.abs(w).max())
+        return (time.perf_counter() - t0) / reps
+
+    lengths = [4, 16, 64, 256]
+    times = [timed_call(L) for L in lengths]
+    # least-squares fit t = a + L*b
+    A = np.stack([np.ones(len(lengths)), np.asarray(lengths)], 1)
+    coef, *_ = np.linalg.lstsq(A, np.asarray(times), rcond=None)
+    a, b = coef
+    print(json.dumps({
+        "impl": impl, "batch": batch,
+        "per_call_overhead_ms": round(a * 1e3, 2),
+        "per_step_device_ms": round(b * 1e3, 3),
+        "sample_steps_per_s_device": round(batch / b, 0),
+        "raw": {str(L): round(t * 1e3, 2) for L, t in zip(lengths, times)},
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="8,128")
@@ -66,7 +113,15 @@ def main():
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--trace", action="store_true",
                     help="capture a jax.profiler trace of the full step")
+    ap.add_argument("--scaling", action="store_true",
+                    help="fit per-call overhead vs per-step device time")
+    ap.add_argument("--impl", default="fft", choices=["fft", "dft"])
     args = ap.parse_args()
+
+    if args.scaling:
+        for batch in [int(b) for b in args.batches.split(",")]:
+            scaling_mode(args.n, batch, args.impl)
+        return
 
     n = args.n
     results = {}
@@ -126,9 +181,29 @@ def main():
             lambda w: 1.0 / (1 - dt * ns.linear_term) * w, what, iters
         )
 
+        # dense-DFT MXU path (ops/dft2d.py): the same stack-4 round trip
+        # and the full step with fft_impl="dft"
+        from tpu_cfd.ops import dft2d
+
+        def dft_roundtrip_stack4(w):
+            specs = jnp.stack([w, w * 0.5, w * 0.25, w * 0.125])
+            phys = dft2d.irfft2_matmul(specs)
+            back = dft2d.rfft2_matmul(phys[0] * phys[1] + phys[2] * phys[3])
+            return w + 0.0 * back
+
+        row["dft_stack4_roundtrip"] = chain_scan(dft_roundtrip_stack4, what, iters)
+
+        ns_dft = equations.NavierStokes2DSpectral(
+            viscosity=1e-3, grid=grid, fft_impl="dft"
+        )
+        row["full_step_dft"] = chain_scan(
+            lambda w: ns_dft.solver(w, dt, ns_dft), what, iters
+        )
+
         results[f"b{batch}"] = {k: round(v * 1e3, 3) for k, v in row.items()}
-        per_sample = row["full_step"] / batch
-        results[f"b{batch}"]["sample_steps_per_s"] = round(1.0 / per_sample, 0)
+        for key, src in (("sample_steps_per_s", "full_step"),
+                         ("sample_steps_per_s_dft", "full_step_dft")):
+            results[f"b{batch}"][key] = round(batch / row[src], 0)
 
         if args.trace:
             step = jax.jit(lambda w: ns.solver(w, dt, ns))
