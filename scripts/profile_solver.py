@@ -67,10 +67,11 @@ def scaling_mode(n, batch, impl="fft"):
     """Separates per-CALL dispatch latency from per-ITERATION device time by
     timing scan programs of several lengths: t(call) = a + len * b."""
     grid, ns, what = make_state(n, batch)
-    if impl == "dft":
+    if impl != "fft":
         ns = equations.NavierStokes2DSpectral(
-            viscosity=1e-3, grid=grid, fft_impl="dft"
+            viscosity=1e-3, grid=grid, fft_impl=impl
         )
+        what = ns._align(what)
     dt = 1e-3
 
     def timed_call(length, reps=4):
@@ -115,7 +116,8 @@ def main():
                     help="capture a jax.profiler trace of the full step")
     ap.add_argument("--scaling", action="store_true",
                     help="fit per-call overhead vs per-step device time")
-    ap.add_argument("--impl", default="fft", choices=["fft", "dft"])
+    ap.add_argument("--impl", default="fft",
+                    choices=["fft", "dft", "dft_aligned"])
     args = ap.parse_args()
 
     if args.scaling:

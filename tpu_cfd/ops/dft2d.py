@@ -13,6 +13,16 @@ axes (norm="backward"). Matrices are host-side numpy constants (CLAUDE.md
 invariant: device arrays closed over by jit fail to embed on this backend);
 ``jnp.asarray`` at trace time folds them into the program.
 
+The optional ``m`` parameter truncates the half-spectrum axis to the first
+``m`` columns (default n//2+1, the full rfft width). ``m = n//2`` drops only
+the Nyquist column and makes every array lane-aligned on TPU (129 pads to
+256 lanes — 2× wasted vector throughput on every elementwise op touching
+the spectrum) while keeping the matmul N-dimension an exact tile multiple.
+For spectrally-filtered turbulence states the Nyquist column is zero to
+fp32 after any warmup (viscous decay exp(-ν k² t) at k = n/2), so the
+truncation is exact in practice; the irfft treats missing columns as zeros,
+exactly like ``jnp.fft.irfft2`` of a zero-padded spectrum.
+
 No reference counterpart — the reference's hot loop calls torch.fft
 (equations.py:413-438); this module is the TPU-native redesign of that load.
 """
@@ -29,8 +39,8 @@ Array = jax.Array
 
 
 @functools.lru_cache(maxsize=None)
-def _mats(n: int, dtype_str: str):
-    """Host-side DFT matrices for an n-point axis (m = n//2+1 half spectrum).
+def _mats(n: int, m: int, dtype_str: str):
+    """Host-side DFT matrices for an n-point axis, m spectrum columns kept.
 
     Returns dict of float arrays:
       fwd_last_re/im:  (n, m)  real input -> half spectrum (last axis)
@@ -40,16 +50,15 @@ def _mats(n: int, dtype_str: str):
                                multiplicities folded in, 1/n normalized
     """
     f = np.float64 if dtype_str == "float64" else np.float32
-    m = n // 2 + 1
     j = np.arange(n)
     k = np.arange(m)
     ang_last = 2 * np.pi * np.outer(j, k) / n          # (n, m)
     ang_first = 2 * np.pi * np.outer(j, j) / n         # (n, n)
-    # Hermitian multiplicities for the inverse last axis: DC and Nyquist
-    # count once, interior modes twice (their conjugates are implicit)
+    # Hermitian multiplicities for the inverse last axis: DC (and Nyquist,
+    # when kept) count once, interior modes twice (conjugates are implicit)
     w = np.full((m,), 2.0)
     w[0] = 1.0
-    if n % 2 == 0:
+    if n % 2 == 0 and m == n // 2 + 1:
         w[-1] = 1.0
     return {
         "fwd_last_re": np.cos(ang_last).astype(f),
@@ -69,14 +78,16 @@ def _precision(p):
     return p
 
 
-def rfft2_matmul(x: Array, precision="highest") -> Array:
+def rfft2_matmul(x: Array, precision="highest", m: int | None = None) -> Array:
     """``jnp.fft.rfft2`` over the last two axes via MXU matmuls.
 
-    x: real ``(..., n, n)`` -> complex ``(..., n, n//2+1)``.
+    x: real ``(..., n, n)`` -> complex ``(..., n, m)`` (m defaults to the
+    full half-spectrum n//2+1).
     """
     n = x.shape[-1]
     assert x.shape[-2] == n, "square trailing axes required"
-    M = _mats(n, str(x.dtype))
+    m = n // 2 + 1 if m is None else m
+    M = _mats(n, m, str(x.dtype))
     P = _precision(precision)
     dot = functools.partial(jnp.einsum, precision=P)
     # last axis: real -> half complex (2 real matmuls, no zero-imag flops)
@@ -93,12 +104,15 @@ def rfft2_matmul(x: Array, precision="highest") -> Array:
 def irfft2_matmul(x: Array, precision="highest") -> Array:
     """``jnp.fft.irfft2`` over the last two axes via MXU matmuls.
 
-    x: complex ``(..., n, n//2+1)`` -> real ``(..., n, n)``.
+    x: complex ``(..., n, m)`` with m ≤ n//2+1 -> real ``(..., n, n)``.
+    Columns beyond m are treated as zero (spectral zero-padding), matching
+    ``jnp.fft.irfft2`` of the zero-filled full half-spectrum.
     """
     n = x.shape[-2]
-    assert x.shape[-1] == n // 2 + 1, "half-spectrum trailing axis required"
+    m = x.shape[-1]
+    assert m <= n // 2 + 1, "spectrum axis wider than the half spectrum"
     dtype_str = "float64" if x.dtype == jnp.complex128 else "float32"
-    M = _mats(n, dtype_str)
+    M = _mats(n, m, dtype_str)
     P = _precision(precision)
     dot = functools.partial(jnp.einsum, precision=P)
     xre, xim = jnp.real(x), jnp.imag(x)

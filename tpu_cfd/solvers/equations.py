@@ -212,35 +212,61 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
     # "dft" runs the rfft2/irfft2 pairs as dense DFT matmuls on the MXU
     # (ops/dft2d.py) — XLA's TPU FFT lowering leaves the chip ~99% idle and
     # scales inversely with batch; "fft" is the jnp.fft reference path.
+    # "dft_aligned" additionally steps on the first n//2 spectrum columns
+    # (Nyquist dropped): every array in the hot loop becomes lane-aligned on
+    # TPU (the n//2+1 width pads to 2x lanes) and every transform matmul an
+    # exact tile multiple. For spectrally-filtered turbulence states the
+    # Nyquist column is zero to fp32 after warmup (viscous decay at k=n/2),
+    # so results agree with the full paths to fp32 roundoff; public
+    # inputs/outputs stay full-width (n//2+1) — conversion happens once per
+    # ``forward`` call, not per step.
     fft_impl: str = "fft"
-    # MXU precision for the dft path ("highest" = full fp32)
+    # MXU precision for the dft paths ("highest" = full fp32)
     mxu_precision: str = "highest"
 
     def _irfft2(self, x: Array) -> Array:
-        if self.fft_impl == "dft":
+        if self.fft_impl in ("dft", "dft_aligned"):
             from tpu_cfd.ops import dft2d
 
             return dft2d.irfft2_matmul(x, self.mxu_precision)
         return jnp.fft.irfft2(x, s=self.grid.shape)
 
     def _rfft2(self, x: Array) -> Array:
-        if self.fft_impl == "dft":
+        if self.fft_impl in ("dft", "dft_aligned"):
             from tpu_cfd.ops import dft2d
 
-            return dft2d.rfft2_matmul(x, self.mxu_precision)
+            return dft2d.rfft2_matmul(x, self.mxu_precision, m=self._m)
         return jnp.fft.rfft2(x)
+
+    def _align(self, w: Array) -> Array:
+        """Public full-width spectrum -> internal (possibly truncated)."""
+        return w[..., : self._m] if w.shape[-1] > self._m else w
+
+    def _unalign(self, w: Array, width: int) -> Array:
+        """Internal width -> the caller's width (zero-fill dropped modes)."""
+        if w.shape[-1] == width:
+            return w
+        pad = [(0, 0)] * (w.ndim - 1) + [(0, width - w.shape[-1])]
+        return jnp.pad(w, pad)
 
     def __post_init__(self):
         if self.solver is None:
             self.solver = RK4CrankNicolsonStepper()
+        n = self.grid.shape[-1]
+        self._m_full = n // 2 + 1
+        self._m = n // 2 if self.fft_impl == "dft_aligned" else self._m_full
         kx, ky = self.grid.rfft_mesh(dtype=self.dtype)
-        self.kx, self.ky = kx, ky
+        self.kx, self.ky = kx[..., : self._m], ky[..., : self._m]
         # Laplacian symbol WITHOUT the zero-mode guard (equations.py:398):
         # the guard only matters for the stream-function inversion, which
         # vorticity_to_velocity applies internally.
-        self.laplace = -4 * (jnp.pi**2) * (jnp.abs(kx) ** 2 + jnp.abs(ky) ** 2)
+        self.laplace = -4 * (jnp.pi**2) * (
+            jnp.abs(self.kx) ** 2 + jnp.abs(self.ky) ** 2
+        )
         self.linear_term = self.viscosity * self.laplace - self.drag
-        self.filter = brick_wall_filter_2d(self.grid, dtype=self.dtype)
+        self.filter = brick_wall_filter_2d(self.grid, dtype=self.dtype)[
+            ..., : self._m
+        ]
 
     def _explicit_terms(self, vort_hat: Array) -> Array:
         vhat, _ = vorticity_to_velocity(self.grid, vort_hat, (self.kx, self.ky))
@@ -275,14 +301,22 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
         return terms
 
     def explicit_terms(self, vort_hat: Array) -> Array:
-        return self._explicit_terms(vort_hat)
+        # accept both the public full width and the internal aligned width
+        # (trajectories.record calls these on full-width snapshots)
+        width = vort_hat.shape[-1]
+        out = self._explicit_terms(self._align(vort_hat))
+        return self._unalign(out, width)
 
     def implicit_terms(self, vort_hat: Array) -> Array:
-        return self.linear_term * vort_hat
+        width = vort_hat.shape[-1]
+        out = self.linear_term * self._align(vort_hat)
+        return self._unalign(out, width)
 
     def implicit_solve(self, vort_hat: Array, dt: float) -> Array:
         # closed form per-mode solve: (1 - dt L)^{-1} (equations.py:446)
-        return 1 / (1 - dt * self.linear_term) * vort_hat
+        width = vort_hat.shape[-1]
+        out = 1 / (1 - dt * self.linear_term) * self._align(vort_hat)
+        return self._unalign(out, width)
 
     def step(self, vort_hat: Array, dt: float, steps: int = 1):
         return self.forward(vort_hat, dt, steps)
@@ -295,6 +329,8 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
         ``steps`` is static; the loop lowers to one ``lax.scan`` so the whole
         rollout is a single compiled kernel sequence.
         """
+        width = vort_hat.shape[-1]
+        vort_hat = self._align(vort_hat)  # scan carries the aligned layout
         vort_old = vort_hat
         if steps == 1:
             vort_hat = self.solver(vort_hat, dt, self)
@@ -304,6 +340,9 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
 
             vort_hat, _ = jax.lax.scan(body, vort_hat, None, length=steps)
         dvortdt_hat = 1 / (steps * dt) * (vort_hat - vort_old)
-        return vort_hat, dvortdt_hat
+        return (
+            self._unalign(vort_hat, width),
+            self._unalign(dvortdt_hat, width),
+        )
 
     __call__ = forward

@@ -123,6 +123,7 @@ def main(args=None):
         spatial_random_feats=args.spatial_random_feats,
         lift_activation=not args.lift_linear,
         latent_steps=args.latent_steps,
+        mxu_precision=args.mxu_precision,
     )
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
@@ -301,6 +302,10 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--spatial-random-feats", default=False, action="store_true")
     parser.add_argument("--lift-linear", default=False, action="store_true")
     parser.add_argument("--double", default=False, action="store_true")
+    parser.add_argument("--mxu-precision", type=str, default="high",
+                        choices=["highest", "high", "default"],
+                        help="MXU precision of the spectral-conv DFT einsums"
+                             " (accuracy/throughput ladder; RESULTS.md)")
     parser.add_argument("--norm-order", type=float, default=0.0)
     parser.add_argument("--eval-only", default=False, action="store_true")
     parser.add_argument("--train-only", default=False, action="store_true")
