@@ -114,6 +114,13 @@ def get_args_ns2d(desc: str = "NSE 2D data generation") -> argparse.ArgumentPars
                    help="shard each generation batch over all available "
                         "devices (per-sample fold_in seeding keeps results "
                         "device-count-invariant)")
+    p.add_argument("--fft-impl", type=str, default=None,
+                   choices=["fft", "dft", "dft_aligned"],
+                   help="solver transform implementation; default picks "
+                        "dense-DFT MXU matmuls on the lane-aligned spectrum "
+                        "for fp32 (fastest measured on TPU) and jnp.fft for "
+                        "--double runs (fp64 solves on CPU, where the FFT "
+                        "wins)")
     return p
 
 

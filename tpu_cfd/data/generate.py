@@ -174,6 +174,11 @@ def run_generation(
         return data_filepath
 
     grid = grids.Grid((n, n), domain=((0, diam), (0, diam)))
+    fft_impl = getattr(args, "fft_impl", None)
+    if fft_impl is None:
+        # default: lane-aligned MXU matmul path on the accelerator, jnp.fft
+        # for fp64 runs (those solve on CPU, where the FFT wins)
+        fft_impl = "fft" if args.double else "dft_aligned"
     ns2d = NavierStokes2DSpectral(
         viscosity=visc,
         grid=grid,
@@ -182,6 +187,7 @@ def run_generation(
         forcing_fn=forcing_fn,
         solver=solver or RK4CrankNicolsonStepper(),
         dtype=compute_dtype,
+        fft_impl=fft_impl,
     )
     fields = (
         ("vorticity", "stream", "vort_t", "residual")
