@@ -117,6 +117,9 @@ class TestShardedTraining:
 
 
 class TestGraftEntry:
+    # the driver exercises both entry points every round; slow-marked to keep
+    # the core loop under ~5 min (they stay in the full suite)
+    @pytest.mark.slow
     def test_entry_compiles(self):
         import sys
 
@@ -127,6 +130,7 @@ class TestGraftEntry:
         out = jax.jit(fn)(*args)
         assert out.shape == (4, 64, 64, 10)
 
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
 
@@ -184,6 +188,7 @@ class TestTrainCLIDataParallel:
 
 
 class TestDataGenDataParallel:
+    @pytest.mark.slow
     def test_generate_cli_equals_single_device(self, tmp_path):
         """--data-parallel generation over 8 CPU devices stores the same
         dataset as the single-device run (per-sample fold_in seeding)."""
