@@ -92,7 +92,8 @@ def scaling_mode(n, batch, impl="fft"):
         _ = float(jnp.abs(w).max())
         return (time.perf_counter() - t0) / reps
 
-    lengths = [4, 16, 64, 256]
+    # two lengths = exact 2-point fit; keeps remote compiles to a minimum
+    lengths = [16, 128]
     times = [timed_call(L) for L in lengths]
     # least-squares fit t = a + L*b
     A = np.stack([np.ones(len(lengths)), np.asarray(lengths)], 1)
