@@ -42,6 +42,10 @@ def make_fno3d_input(a: jax.Array, out_steps: int) -> jax.Array:
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-file", type=str, default=None)
+    p.add_argument("--mat-file", type=str, default=None,
+                   help="train on an FNO-paper-format .mat/.pt file (field "
+                        "'u', shape (N, n, n, T)) via NavierStokesDataset "
+                        "instead of the torch-cfd trajectory format")
     p.add_argument("--num-samples", type=int, default=1024)
     p.add_argument("--num-test-samples", type=int, default=32)
     p.add_argument("--epochs", type=int, default=10)
@@ -56,22 +60,46 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
-    data_path = args.data_file or os.path.join(
-        pipeline.DATA_PATH, "McWilliams2d_64x64_N1152_v1e-3_T10_steps100.npz"
-    )
     T = args.time_steps
-    train_ds = SpatioTemporalDatasetFixedTime(
-        data_path, n_samples=args.num_samples, fields=["vorticity"],
-        steps=T, out_steps=T, T_start=args.t_start,
-    )
-    test_ds = SpatioTemporalDatasetFixedTime(
-        data_path, n_samples=args.num_test_samples, fields=["vorticity"],
-        steps=T, out_steps=T, T_start=args.t_start, train=False,
-    )
-    normalizer = train_ds.normalizers["vorticity"]
-    # eval uses the TRAIN statistics (reference passes
-    # inp_normalizer=train_dataset.inp_normalizer to the test set)
-    test_ds.normalizers["vorticity"] = normalizer
+    if args.mat_file:
+        # FNO-paper workflow (reference fno3d.py:163-166, datasets.py:165):
+        # inputs normalized with the TRAIN normalizer, targets raw frames
+        from tpu_cfd.data.datasets import NavierStokesDataset
+
+        train_ds = NavierStokesDataset(
+            args.mat_file, n_samples=args.num_samples,
+            time_steps_input=T, time_steps_output=T, normalize=True,
+        )
+        test_ds = NavierStokesDataset(
+            args.mat_file, n_samples=args.num_test_samples, train=False,
+            time_steps_input=T, time_steps_output=T, normalize=False,
+        )
+        test_ds.a = train_ds.normalizer.transform(test_ds.a)
+        normalizer = None
+
+        def batch_iter(ds, bs, rng, shuffle=True):
+            for b in ds.batches(bs, rng, shuffle):
+                yield b["a"], b["u"]
+    else:
+        data_path = args.data_file or os.path.join(
+            pipeline.DATA_PATH, "McWilliams2d_64x64_N1152_v1e-3_T10_steps100.npz"
+        )
+        train_ds = SpatioTemporalDatasetFixedTime(
+            data_path, n_samples=args.num_samples, fields=["vorticity"],
+            steps=T, out_steps=T, T_start=args.t_start,
+        )
+        test_ds = SpatioTemporalDatasetFixedTime(
+            data_path, n_samples=args.num_test_samples, fields=["vorticity"],
+            steps=T, out_steps=T, T_start=args.t_start, train=False,
+        )
+        normalizer = train_ds.normalizers["vorticity"]
+        # eval uses the TRAIN statistics (reference passes
+        # inp_normalizer=train_dataset.inp_normalizer to the test set)
+        test_ds.normalizers["vorticity"] = normalizer
+
+        def batch_iter(ds, bs, rng, shuffle=True):
+            for inp, out in ds.batches(bs, rng, shuffle):
+                yield inp["vorticity"], out["vorticity"]
 
     model = FNO3d(
         modes1=args.modes, modes2=args.modes, modes3=args.modes_t,
@@ -79,8 +107,8 @@ def main(argv=None):
     )
     key = jax.random.PRNGKey(args.seed)
     rng = np.random.default_rng(args.seed)
-    inp0, _ = train_ds.sample(np.arange(2), rng)
-    x0 = make_fno3d_input(jnp.asarray(inp0["vorticity"]), T)
+    a0, _ = next(batch_iter(train_ds, 2, rng, shuffle=False))
+    x0 = make_fno3d_input(jnp.asarray(a0), T)
     params = jax.jit(model.init)(key, x0)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"FNO3d parameters: {n_params}")
@@ -99,12 +127,16 @@ def main(argv=None):
     opt_state = opt.init(params)
     loss_fn = losses.SobolevLoss(n_grid=args.res, norm_order=0, relative=True)
 
-    mean = jnp.asarray(normalizer.mean)
-    std = jnp.asarray(normalizer.std)
+    if normalizer is not None:
+        mean = jnp.asarray(normalizer.mean)
+        std = jnp.asarray(normalizer.std)
 
-    def denorm(u):
-        # SpatialGaussianNormalizer stats are per (x, y, t) location
-        return u * (std + normalizer.eps) + mean
+        def denorm(u):
+            # SpatialGaussianNormalizer stats are per (x, y, t) location
+            return u * (std + normalizer.eps) + mean
+    else:
+        def denorm(u):  # .mat targets are raw solution frames
+            return u
 
     @jax.jit
     def train_step(params, opt_state, a, u):
@@ -123,16 +155,15 @@ def main(argv=None):
 
     for ep in range(args.epochs):
         tr, count = 0.0, 0
-        for inp, out in train_ds.batches(args.batch_size, rng):
-            a = jnp.asarray(inp["vorticity"])
-            u = jnp.asarray(out["vorticity"])
-            params, opt_state, l = train_step(params, opt_state, a, u)
+        for a, u in batch_iter(train_ds, args.batch_size, rng):
+            params, opt_state, l = train_step(
+                params, opt_state, jnp.asarray(a), jnp.asarray(u)
+            )
             tr += float(l)
             count += 1
         evals = [
-            float(eval_step(params, jnp.asarray(i["vorticity"]),
-                            jnp.asarray(o["vorticity"])))
-            for i, o in test_ds.batches(1, rng, shuffle=False)
+            float(eval_step(params, jnp.asarray(a), jnp.asarray(u)))
+            for a, u in batch_iter(test_ds, 1, rng, shuffle=False)
         ]
         print(
             f"Epoch {ep + 1:2d}/{args.epochs} | train rel L2:"
