@@ -70,14 +70,17 @@ def _cost_analysis(jitted, *args):
         return 0.0, 0.0
 
 
-def _solver_setup(n, batch, impl):
+def _solver_setup(n, batch, impl, precision="high"):
     grid = grids.Grid((n, n), domain=((0, 2 * jnp.pi), (0, 2 * jnp.pi)))
     keys = jax.random.split(jax.random.PRNGKey(0), batch)
     w0 = jax.vmap(lambda k: ic.vorticity_field(k, grid, peak_wavenumber=4).data)(
         keys
     )
+    # precision "high" is the adopted data-gen default: measured physics-
+    # indistinguishable from the fp32 FFT path (scripts/
+    # validate_dft_precision.py; RESULTS.md precision ladder)
     ns = equations.NavierStokes2DSpectral(
-        viscosity=1e-3, grid=grid, fft_impl=impl
+        viscosity=1e-3, grid=grid, fft_impl=impl, mxu_precision=precision
     )
     return ns, jnp.fft.rfft2(w0)
 
@@ -219,6 +222,7 @@ def main():
         "vs_baseline": round(steps_per_s / TORCH_CPU_BASELINE_STEPS_PER_S, 2),
         "extra": {
             "solver_impl_headline": headline_impl,
+            "solver_mxu_precision": "high",
             "solver_b8_steps_per_s": {
                 k: round(v["b8_steps_per_s"], 2) for k, v in solver.items()
             },

@@ -63,13 +63,13 @@ def make_state(n, batch):
     return grid, ns, jnp.fft.rfft2(w0)
 
 
-def scaling_mode(n, batch, impl="fft"):
+def scaling_mode(n, batch, impl="fft", precision="highest"):
     """Separates per-CALL dispatch latency from per-ITERATION device time by
     timing scan programs of several lengths: t(call) = a + len * b."""
     grid, ns, what = make_state(n, batch)
     if impl != "fft":
         ns = equations.NavierStokes2DSpectral(
-            viscosity=1e-3, grid=grid, fft_impl=impl
+            viscosity=1e-3, grid=grid, fft_impl=impl, mxu_precision=precision
         )
         what = ns._align(what)
     dt = 1e-3
@@ -100,7 +100,7 @@ def scaling_mode(n, batch, impl="fft"):
     coef, *_ = np.linalg.lstsq(A, np.asarray(times), rcond=None)
     a, b = coef
     print(json.dumps({
-        "impl": impl, "batch": batch,
+        "impl": impl, "batch": batch, "precision": precision,
         "per_call_overhead_ms": round(a * 1e3, 2),
         "per_step_device_ms": round(b * 1e3, 3),
         "sample_steps_per_s_device": round(batch / b, 0),
@@ -119,11 +119,13 @@ def main():
                     help="fit per-call overhead vs per-step device time")
     ap.add_argument("--impl", default="fft",
                     choices=["fft", "dft", "dft_aligned"])
+    ap.add_argument("--precision", default="highest",
+                    choices=["highest", "high", "default"])
     args = ap.parse_args()
 
     if args.scaling:
         for batch in [int(b) for b in args.batches.split(",")]:
-            scaling_mode(args.n, batch, args.impl)
+            scaling_mode(args.n, batch, args.impl, args.precision)
         return
 
     n = args.n

@@ -188,6 +188,7 @@ def run_generation(
         solver=solver or RK4CrankNicolsonStepper(),
         dtype=compute_dtype,
         fft_impl=fft_impl,
+        mxu_precision=getattr(args, "mxu_precision", "high"),
     )
     fields = (
         ("vorticity", "stream", "vort_t", "residual")
