@@ -102,13 +102,13 @@ def bench_solver(n=256, batch=8, steps_per_call=100, n_calls=5, impl="fft",
     return steps_per_s, flops / steps_per_call, hbm / steps_per_call
 
 
-def bench_sfno_train(n=64, batch=4, t_in=10, t_out=40, n_calls=10,
+def bench_sfno_train(n=64, batch=4, t_in=10, t_out=40, n_calls=30,
                      trace_dir=None):
     """SFNO train samples/sec/chip at the reference's fnodata configuration
     (modes 12/12/5, width 20 — examples/ex2_SFNO_train_fnodata.ipynb cells
-    1-3), jitted value_and_grad + Adam update per call. Also measures the
-    forward-only and forward+loss times so the train-step cost has a
-    MEASURED breakdown, not just a cost-model one."""
+    1-3), jitted value_and_grad + Adam update per call, XLA-chosen carry
+    layouts. Also measures the forward+loss time so the train-step cost has
+    a MEASURED breakdown, not just a cost-model one."""
     import optax
 
     from tpu_cfd.models import SFNO
@@ -124,8 +124,7 @@ def bench_sfno_train(n=64, batch=4, t_in=10, t_out=40, n_calls=10,
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def train_step(carry, x, y):
+    def _train_step(carry, x, y):
         params, opt_state = carry
         def loss(p):
             return loss_fn(model.apply(p, x, out_steps=t_out), y)
@@ -133,20 +132,35 @@ def bench_sfno_train(n=64, batch=4, t_in=10, t_out=40, n_calls=10,
         updates, opt_state = opt.update(grads, opt_state)
         return (optax.apply_updates(params, updates), opt_state), l
 
-    fwd = jax.jit(lambda p, x: model.apply(p, x, out_steps=t_out))
-    fwd_loss = jax.jit(lambda p, x, y: loss_fn(model.apply(p, x, out_steps=t_out), y))
+    # XLA-chosen carry layouts (same as pipeline.make_train_step
+    # auto_layouts=True): keeps weights in dot-preferred tilings across
+    # steps instead of re-tiling every leaf at the jit boundary
+    from jax.experimental.layout import Format, Layout
 
-    def timeit(fn, *args, reps=n_calls):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / reps
+    fmt = Format(Layout.AUTO)
+    train_step = jax.jit(
+        _train_step,
+        in_shardings=((fmt, fmt), None, None),
+        out_shardings=((fmt, fmt), None),
+    )
 
-    ms_fwd = timeit(fwd, params, x) * 1e3
-    ms_fwd_loss = timeit(fwd_loss, params, x, y) * 1e3
+    # forward+loss is timed over DISTINCT pre-staged inputs: identical
+    # dispatches are memoized by the tunnel backend (a same-args python
+    # loop reports ~0 ms), and scan-wrapped model programs wedge the
+    # backend into nondeterministic multi-second retry storms — distinct
+    # sequential dispatches are the measurement that survives both. The
+    # honest breakdown is forward+loss vs (train_step − forward+loss);
+    # a loss-free forward is not reported.
+    fwd_loss = jax.jit(
+        lambda p, xc, y: loss_fn(model.apply(p, xc, out_steps=t_out), y)
+    )
+    xs = [jnp.asarray(np.asarray(x) + 1e-6 * i) for i in range(n_calls)]
+    _ = float(fwd_loss(params, xs[0], y))  # warmup/compile
+    t0 = time.perf_counter()
+    for xi in xs:
+        l = fwd_loss(params, xi, y)
+    _ = float(l)
+    ms_fwd_loss = (time.perf_counter() - t0) / n_calls * 1e3
 
     carry = (params, opt_state)
     (carry, l) = train_step(carry, x, y)  # compile
@@ -168,7 +182,6 @@ def bench_sfno_train(n=64, batch=4, t_in=10, t_out=40, n_calls=10,
         "batch": batch,
         "samples_per_s": n_calls * batch / dt,
         "ms_train_step": round(ms_step, 2),
-        "ms_forward": round(ms_fwd, 2),
         "ms_forward_plus_loss": round(ms_fwd_loss, 2),
         "ms_backward_plus_update": round(ms_step - ms_fwd_loss, 2),
         "flops": flops,
@@ -236,7 +249,7 @@ def main():
                 steps_per_s),
             "sfno_train_samples_per_s_per_chip": round(t4["samples_per_s"], 2),
             "sfno_train_step_breakdown_ms": {
-                k: t4[k] for k in ("ms_train_step", "ms_forward",
+                k: t4[k] for k in ("ms_train_step",
                                    "ms_forward_plus_loss",
                                    "ms_backward_plus_update")
             },

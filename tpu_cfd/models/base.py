@@ -272,6 +272,13 @@ class SpectralConv(nn.Module):
         aliasing folds into sample positions of the t matrices, and the
         output sizes implement the FFT-native super-resolution directly
         (reference sfno.py:364-457 semantics, validated to the FFT path).
+
+        Contraction order is x→t→y forward and t→y→x inverse, with the norm
+        scale folded into the inverse-t matrix: measured fastest on TPU over
+        a full train step (round-3 trace-guided sweep — the order controls
+        which relayouts XLA must insert around each batched matmul; this
+        combination plus XLA-chosen carry layouts is ~21% faster than the
+        round-2 t→x→y chain at the bench configuration).
         """
         b, nx, ny, nt, ci = v.shape
         mx, my, mt = self.modes
@@ -285,13 +292,24 @@ class SpectralConv(nn.Module):
             nx_out, ny_out, L_out = out_mesh_size
         keep_last = L_out if keep_last is None else keep_last
 
+        n_fwd = nx * ny * L_fwd
+        n_out = nx_out * ny_out * L_out
+        if self.norm == "backward":
+            scale = 1.0 / n_out
+        elif self.norm == "ortho":
+            scale = 1.0 / (np.sqrt(n_fwd) * np.sqrt(n_out))
+        elif self.norm == "forward":
+            scale = 1.0 / n_fwd
+        else:
+            raise ValueError(f"unknown norm {self.norm}")
+
         P = getattr(jax.lax.Precision, self.mxu_precision.upper())
         cdtype = "complex128" if v.dtype == jnp.float64 else "complex64"
         Ft = jnp.asarray(_dft_fwd_low(nt, mt, t_offset=t_pad, length=L_fwd, cdtype=cdtype))
         Fx = jnp.asarray(_dft_fwd_c2c(nx, mx, cdtype=cdtype))
         Fy = jnp.asarray(_dft_fwd_c2c(ny, my, cdtype=cdtype))
-        h = jnp.einsum("bxytc,Tt->bxyTc", v.astype(Ft.dtype), Ft, precision=P)
-        h = jnp.einsum("bxyTc,Xx->bXyTc", h, Fx, precision=P)
+        h = jnp.einsum("bxytc,Xx->bXytc", v.astype(Ft.dtype), Fx, precision=P)
+        h = jnp.einsum("bXytc,Tt->bXyTc", h, Ft, precision=P)
         h = jnp.einsum("bXyTc,Yy->bXYTc", h, Fy, precision=P)
 
         w = self.compact_weight()[:, :, :mt]
@@ -303,22 +321,13 @@ class SpectralConv(nn.Module):
 
         Gx = jnp.asarray(_dft_inv_c2c(nx_out, mx, cdtype=cdtype))
         Gy = jnp.asarray(_dft_inv_c2c(ny_out, my, cdtype=cdtype))
-        Gt = jnp.asarray(_dft_inv_low(L_out, mt, keep_last, cdtype=cdtype))
-        out = jnp.einsum("bXYTo,xX->bxYTo", out_h, Gx, precision=P)
-        out = jnp.einsum("bxYTo,yY->bxyTo", out, Gy, precision=P)
-        out = jnp.einsum("bxyTo,tT->bxyto", out, Gt, precision=P)
-
-        n_fwd = nx * ny * L_fwd
-        n_out = nx_out * ny_out * L_out
-        if self.norm == "backward":
-            scale = 1.0 / n_out
-        elif self.norm == "ortho":
-            scale = 1.0 / (np.sqrt(n_fwd) * np.sqrt(n_out))
-        elif self.norm == "forward":
-            scale = 1.0 / n_fwd
-        else:
-            raise ValueError(f"unknown norm {self.norm}")
-        return out.real.astype(v.dtype) * scale
+        Gt = jnp.asarray(
+            np.asarray(_dft_inv_low(L_out, mt, keep_last, cdtype=cdtype)) * scale
+        )
+        out = jnp.einsum("bXYTo,tT->bXYto", out_h, Gt, precision=P)
+        out = jnp.einsum("bXYto,yY->bXyto", out, Gy, precision=P)
+        out = jnp.einsum("bXyto,xX->bxyto", out, Gx, precision=P)
+        return out.real.astype(v.dtype)
 
     @staticmethod
     def complex_matmul(x: Array, w: Array) -> Array:

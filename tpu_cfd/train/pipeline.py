@@ -81,11 +81,20 @@ def make_train_step(
     loss_fn: Callable,
     optimizer: optax.GradientTransformation,
     normalizer=None,
+    auto_layouts: bool = False,
 ):
     """Returns a jitted train step: (params, opt_state, inp, target) -> ...
 
     Counterpart of reference pipeline.py:38-63 — forward → (denormalize) →
     loss → grad → clip → update, fused into one XLA program.
+
+    ``auto_layouts=True`` lets XLA choose the on-device tile layouts of the
+    params/opt-state arguments and results instead of pinning them to the
+    row-major jit-boundary default. The step's outputs feed the next step's
+    inputs, so the dot-preferred layouts persist across iterations and the
+    per-step re-tiling copies of every weight leaf disappear (measured ~6%
+    step-time win at the bench config; single-device only — the
+    data-parallel path pins NamedShardings instead).
     """
 
     def step(params, opt_state, inp, target):
@@ -103,6 +112,15 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss_val
 
+    if auto_layouts:
+        from jax.experimental.layout import Format, Layout
+
+        fmt = Format(Layout.AUTO)
+        return jax.jit(
+            step,
+            in_shardings=(fmt, fmt, None, None),
+            out_shardings=(fmt, fmt, None),
+        )
     return jax.jit(step)
 
 

@@ -164,7 +164,11 @@ def main(args=None):
     loss_func = losses.SobolevLoss(
         n_grid=n, norm_order=args.norm_order, relative=True
     )
-    train_step = pipeline.make_train_step(model, loss_func, optimizer)
+    # XLA-chosen carry layouts are a single-device optimization; the
+    # data-parallel path pins NamedShardings on the batch instead
+    train_step = pipeline.make_train_step(
+        model, loss_func, optimizer, auto_layouts=not args.data_parallel
+    )
     eval_step = pipeline.make_eval_step(model, loss_func, out_steps=out_steps)
 
     path_model = os.path.join(
