@@ -132,17 +132,12 @@ def bench_sfno_train(n=64, batch=4, t_in=10, t_out=40, n_calls=30,
         updates, opt_state = opt.update(grads, opt_state)
         return (optax.apply_updates(params, updates), opt_state), l
 
-    # XLA-chosen carry layouts (same as pipeline.make_train_step
-    # auto_layouts=True): keeps weights in dot-preferred tilings across
-    # steps instead of re-tiling every leaf at the jit boundary
-    from jax.experimental.layout import Format, Layout
-
-    fmt = Format(Layout.AUTO)
-    train_step = jax.jit(
-        _train_step,
-        in_shardings=((fmt, fmt), None, None),
-        out_shardings=((fmt, fmt), None),
-    )
+    # plain jit, matching the production pipeline: XLA-chosen carry
+    # layouts measure ~6% faster here but params carrying such layouts
+    # are not safely consumable by other programs on this backend
+    # (pipeline.make_train_step docstring), so that number would not be
+    # achievable in a real train loop with eval + checkpointing
+    train_step = jax.jit(_train_step)
 
     # forward+loss is timed over DISTINCT pre-staged inputs: identical
     # dispatches are memoized by the tunnel backend (a same-args python

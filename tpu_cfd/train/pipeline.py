@@ -93,8 +93,14 @@ def make_train_step(
     row-major jit-boundary default. The step's outputs feed the next step's
     inputs, so the dot-preferred layouts persist across iterations and the
     per-step re-tiling copies of every weight leaf disappear (measured ~6%
-    step-time win at the bench config; single-device only — the
-    data-parallel path pins NamedShardings instead).
+    step-time win at the bench config).
+
+    DEFAULT OFF: on the axon (TPU-tunnel) backend, arrays carrying some
+    XLA-chosen 6-D tiled layouts are NOT safely consumable outside the
+    program that produced them — a default-layout eval jit fed such params
+    either raises INVALID_ARGUMENT or silently computes wrong values
+    (observed: val metric frozen at 7.8e-2 while train loss converged).
+    Only enable where params never cross into other programs.
     """
 
     def step(params, opt_state, inp, target):

@@ -164,11 +164,10 @@ def main(args=None):
     loss_func = losses.SobolevLoss(
         n_grid=n, norm_order=args.norm_order, relative=True
     )
-    # XLA-chosen carry layouts are a single-device optimization; the
-    # data-parallel path pins NamedShardings on the batch instead
-    train_step = pipeline.make_train_step(
-        model, loss_func, optimizer, auto_layouts=not args.data_parallel
-    )
+    # auto_layouts stays OFF: the trained params feed the eval jit and the
+    # checkpoint writer every epoch, and XLA-chosen layouts are not safely
+    # consumable across programs on this backend (see make_train_step)
+    train_step = pipeline.make_train_step(model, loss_func, optimizer)
     eval_step = pipeline.make_eval_step(model, loss_func, out_steps=out_steps)
 
     path_model = os.path.join(
