@@ -413,3 +413,119 @@ class TestDFTMatmulSolverPath:
         # column's own relative amplitude — and is far from blowing up
         assert rel < 10 * ny_rel, (rel, ny_rel)
         assert rel < 2e-2, rel
+
+
+class TestGalerkinSolverPath:
+    """fft_impl="dft_galerkin": stepping on exactly the 2/3-rule dealiasing
+    support (ops/dft2d.galerkin_block). For a dealiased state this is an
+    EXACT restriction of the filtered dynamics — products of in-block modes
+    stay below the dense DFT's alias-free band — so parity with the fft
+    path is machine precision, not a physics-level bound."""
+
+    def test_block_transform_parity(self):
+        """rfft2_block == rfft2_matmul sliced to the block; irfft2_block ==
+        irfft2_matmul of the zero-filled spectrum."""
+        from tpu_cfd.ops import dft2d
+
+        n = 32
+        rows, m = dft2d.galerkin_block(n)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, n, n))
+        )
+        full = np.asarray(jax.jit(
+            lambda x: dft2d.rfft2_matmul(x, "highest"))(x))
+        blk = np.asarray(jax.jit(
+            lambda x: dft2d.rfft2_block(x, rows, m, "highest"))(x))
+        ref = full[:, list(rows), :m]
+        np.testing.assert_allclose(blk, ref, rtol=1e-12, atol=1e-13)
+
+        spec = np.zeros_like(full)
+        spec[:, list(rows), :m] = ref
+        inv_full = np.asarray(jax.jit(
+            lambda s: dft2d.irfft2_matmul(s, "highest"))(jnp.asarray(spec)))
+        inv_blk = np.asarray(jax.jit(
+            lambda b: dft2d.irfft2_block(b, n, rows, "highest"))(
+                jnp.asarray(ref)))
+        np.testing.assert_allclose(inv_blk, inv_full, rtol=1e-12, atol=1e-13)
+
+    def test_block_matches_filter_support(self):
+        """The block is exactly the brick-wall filter support, so the
+        per-step filter multiply is an identity (dropped in the solver)."""
+        from tpu_cfd.ops import dft2d
+        from tpu_cfd.ops.spectral import brick_wall_filter_2d
+
+        for n in (32, 64, 256):
+            rows, m = dft2d.galerkin_block(n)
+            grid = grids.Grid((n, n), domain=((0, 1.0), (0, 1.0)))
+            filt = np.asarray(brick_wall_filter_2d(grid))
+            assert filt[list(rows), :m].all()
+            assert filt.sum() == len(rows) * m
+
+    def test_galerkin_rollout_parity(self):
+        """Pre-filtered (dealiased) state: galerkin == fft to roundoff over
+        a 50-step rollout, including the returned dw/dt estimate."""
+        from tpu_cfd.ops.spectral import brick_wall_filter_2d
+
+        n, batch, steps = 64, 2, 50
+        grid = grids.Grid((n, n), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        keys = jax.random.split(jax.random.PRNGKey(0), batch)
+        w0 = jax.vmap(
+            lambda k: ic.vorticity_field(k, grid, 4, dtype=jnp.float64).data
+        )(keys)
+        what = jnp.fft.rfft2(w0) * brick_wall_filter_2d(grid, jnp.float64)
+
+        outs = {}
+        for impl in ("fft", "dft_galerkin"):
+            ns = equations.NavierStokes2DSpectral(
+                viscosity=1e-3, grid=grid, dtype=jnp.float64, fft_impl=impl,
+            )
+            out, dwdt = jax.jit(
+                lambda w, e=ns: e.forward(w, 1e-3, steps=steps)
+            )(what)
+            assert out.shape == what.shape  # public layout preserved
+            outs[impl] = (np.asarray(out), np.asarray(dwdt))
+        np.testing.assert_allclose(
+            outs["dft_galerkin"][0], outs["fft"][0], rtol=1e-9, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            outs["dft_galerkin"][1], outs["fft"][1], rtol=1e-9, atol=1e-9,
+        )
+
+    def test_galerkin_interface_accepts_both_layouts(self):
+        """explicit/implicit/residual accept both the public full layout and
+        the internal block layout (the trajectory recorder uses the former,
+        the scan carry the latter)."""
+        from tpu_cfd.ops import dft2d
+        from tpu_cfd.ops.spectral import brick_wall_filter_2d
+
+        n = 32
+        rows, m = dft2d.galerkin_block(n)
+        grid = grids.Grid((n, n), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        ns = equations.NavierStokes2DSpectral(
+            viscosity=1e-3, grid=grid, dtype=jnp.float64,
+            fft_impl="dft_galerkin",
+        )
+        w0 = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.float64)
+        w_full = jnp.fft.rfft2(w0) * brick_wall_filter_2d(grid, jnp.float64)
+        w_block = w_full[jnp.asarray(rows), :m]
+        for fn in (ns.explicit_terms, ns.implicit_terms,
+                   lambda w: ns.implicit_solve(w, 1e-3),
+                   lambda w: ns.residual(w, w)):
+            full = np.asarray(fn(w_full))
+            block = np.asarray(fn(w_block))
+            assert full.shape[-2:] == (n, n // 2 + 1)
+            assert block.shape[-2:] == (len(rows), m)
+            np.testing.assert_allclose(full[list(rows), :m], block,
+                                       rtol=1e-12, atol=1e-13)
+            # everything the block drops is exactly zero in the full output
+            mask = np.ones_like(full, dtype=bool)
+            mask[list(rows), :m] = False
+            np.testing.assert_allclose(full[mask], 0.0, atol=1e-14)
+
+    def test_galerkin_requires_smooth(self):
+        grid = grids.Grid((32, 32), domain=((0, 1.0), (0, 1.0)))
+        with pytest.raises(ValueError):
+            equations.NavierStokes2DSpectral(
+                viscosity=1e-3, grid=grid, smooth=False,
+                fft_impl="dft_galerkin",
+            )

@@ -115,12 +115,14 @@ def get_args_ns2d(desc: str = "NSE 2D data generation") -> argparse.ArgumentPars
                         "devices (per-sample fold_in seeding keeps results "
                         "device-count-invariant)")
     p.add_argument("--fft-impl", type=str, default=None,
-                   choices=["fft", "dft", "dft_aligned"],
+                   choices=["fft", "dft", "dft_aligned", "dft_galerkin"],
                    help="solver transform implementation; default picks "
-                        "dense-DFT MXU matmuls on the lane-aligned spectrum "
-                        "for fp32 (fastest measured on TPU) and jnp.fft for "
-                        "--double runs (fp64 solves on CPU, where the FFT "
-                        "wins)")
+                        "dense-DFT MXU matmuls restricted to the 2/3-rule "
+                        "dealiasing block (dft_galerkin — exact for "
+                        "dealiased states, smallest transform cost) and "
+                        "jnp.fft for --double runs (fp64 solves on CPU, "
+                        "where the FFT wins); dft_galerkin requires "
+                        "dealiasing on (no --no-dealias)")
     p.add_argument("--mxu-precision", type=str, default="high",
                    choices=["highest", "high", "default"],
                    help="MXU precision of the dense-DFT matmuls (dft/"

@@ -176,9 +176,14 @@ def run_generation(
     grid = grids.Grid((n, n), domain=((0, diam), (0, diam)))
     fft_impl = getattr(args, "fft_impl", None)
     if fft_impl is None:
-        # default: lane-aligned MXU matmul path on the accelerator, jnp.fft
-        # for fp64 runs (those solve on CPU, where the FFT wins)
-        fft_impl = "fft" if args.double else "dft_aligned"
+        # default: MXU matmul path restricted to the 2/3-rule block on the
+        # accelerator (exact for the dealiased dynamics), jnp.fft for fp64
+        # runs (those solve on CPU, where the FFT wins) and for
+        # --no-dealias runs (the galerkin block IS the dealias support)
+        if args.double or args.no_dealias:
+            fft_impl = "fft"
+        else:
+            fft_impl = "dft_galerkin"
     ns2d = NavierStokes2DSpectral(
         viscosity=visc,
         grid=grid,

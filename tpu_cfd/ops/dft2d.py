@@ -78,6 +78,85 @@ def _precision(p):
     return p
 
 
+@functools.lru_cache(maxsize=None)
+def _mats_rows(n: int, rows: tuple, dtype_str: str):
+    """First-axis DFT matrices restricted to a subset of signed modes.
+
+    ``rows`` are full-spectrum row indices (fft ordering) of the kept x
+    modes. Returns fwd (len(rows), n) and inv (n, len(rows)) re/im pairs;
+    the inverse carries the 1/n normalization.
+    """
+    f = np.float64 if dtype_str == "float64" else np.float32
+    j = np.arange(n)
+    k = np.asarray(rows)  # row index == mode number mod n in fft ordering
+    ang = 2 * np.pi * np.outer(k, j) / n  # (rows, n)
+    return {
+        "fwd_re": np.cos(ang).astype(f),
+        "fwd_im": (-np.sin(ang)).astype(f),
+        "inv_re": (np.cos(ang.T) / n).astype(f),
+        "inv_im": (np.sin(ang.T) / n).astype(f),
+    }
+
+
+def galerkin_block(n: int):
+    """(rows, m) of the 2/3-rule dealiasing support on an n×n rfft2 spectrum.
+
+    Matches ``ops.spectral.brick_wall_filter_2d`` exactly: signed x modes
+    -kmax ≤ kx < kmax with kmax = (2n/3)//2, and the low
+    ``int(2/3*(n//2+1))`` y columns — so a state restricted to this block
+    renders the per-step brick-wall filter an identity.
+    """
+    kmax_x = int(2 / 3 * n) // 2
+    rows = tuple(range(kmax_x)) + tuple(range(n - kmax_x, n))
+    m = int(2 / 3 * (n // 2 + 1))
+    return rows, m
+
+
+def rfft2_block(x: Array, rows: tuple, m: int, precision="highest") -> Array:
+    """rfft2 restricted to the (rows, m) mode block (Galerkin truncation).
+
+    x: real ``(..., n, n)`` -> complex ``(..., len(rows), m)`` holding the
+    kept signed-x rows (fft ordering compacted) and low y columns. Equal to
+    ``rfft2_matmul(x)[..., rows, :m]`` to roundoff, at ~2/3 the matmul cost.
+    """
+    n = x.shape[-1]
+    assert x.shape[-2] == n, "square trailing axes required"
+    M = _mats(n, m, str(x.dtype))
+    R = _mats_rows(n, rows, str(x.dtype))
+    P = _precision(precision)
+    dot = functools.partial(jnp.einsum, precision=P)
+    yre = dot("...xj,jk->...xk", x, jnp.asarray(M["fwd_last_re"]))
+    yim = dot("...xj,jk->...xk", x, jnp.asarray(M["fwd_last_im"]))
+    Fre = jnp.asarray(R["fwd_re"])
+    Fim = jnp.asarray(R["fwd_im"])
+    zre = dot("Xx,...xk->...Xk", Fre, yre) - dot("Xx,...xk->...Xk", Fim, yim)
+    zim = dot("Xx,...xk->...Xk", Fre, yim) + dot("Xx,...xk->...Xk", Fim, yre)
+    return jax.lax.complex(zre, zim)
+
+
+def irfft2_block(x: Array, n: int, rows: tuple, precision="highest") -> Array:
+    """irfft2 of a (rows, m) mode block back to the full ``(..., n, n)`` grid.
+
+    Modes outside the block are treated as zero — exactly
+    ``irfft2_matmul`` of the zero-filled spectrum.
+    """
+    m = x.shape[-1]
+    assert x.shape[-2] == len(rows), "block row count mismatch"
+    dtype_str = "float64" if x.dtype == jnp.complex128 else "float32"
+    M = _mats(n, m, dtype_str)
+    R = _mats_rows(n, rows, dtype_str)
+    P = _precision(precision)
+    dot = functools.partial(jnp.einsum, precision=P)
+    xre, xim = jnp.real(x), jnp.imag(x)
+    Gre = jnp.asarray(R["inv_re"])
+    Gim = jnp.asarray(R["inv_im"])
+    yre = dot("xX,...Xk->...xk", Gre, xre) - dot("xX,...Xk->...xk", Gim, xim)
+    yim = dot("xX,...Xk->...xk", Gre, xim) + dot("xX,...Xk->...xk", Gim, xre)
+    out = dot("...xk,kj->...xj", yre, jnp.asarray(M["inv_last_re"]))
+    out = out + dot("...xk,kj->...xj", yim, jnp.asarray(M["inv_last_im"]))
+    return out
+
+
 def rfft2_matmul(x: Array, precision="highest", m: int | None = None) -> Array:
     """``jnp.fft.rfft2`` over the last two axes via MXU matmuls.
 

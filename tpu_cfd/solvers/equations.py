@@ -220,11 +220,28 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
     # so results agree with the full paths to fp32 roundoff; public
     # inputs/outputs stay full-width (n//2+1) — conversion happens once per
     # ``forward`` call, not per step.
+    # "dft_galerkin" (smooth=True only) steps on exactly the 2/3-rule
+    # dealiasing support (signed |kx| < 2n/3/2, low 2/3 y columns): the
+    # dealiased state provably stays on that block, so the per-step filter
+    # multiply becomes an identity (dropped) and every transform matmul
+    # contracts/produces only ~2/3 of each spectral axis. Products of
+    # in-block modes reach at most |k| ≤ 2·kmax < n − kmax, so the dense
+    # DFT of the advection term is alias-free on the kept modes — this is
+    # an exact Galerkin restriction of the filtered dynamics, not an
+    # approximation (entry restriction drops only modes the filter would
+    # have killed; they are zero to fp32 after any warmup, as for
+    # dft_aligned's Nyquist column).
     fft_impl: str = "fft"
     # MXU precision for the dft paths ("highest" = full fp32)
     mxu_precision: str = "highest"
 
     def _irfft2(self, x: Array) -> Array:
+        if self.fft_impl == "dft_galerkin":
+            from tpu_cfd.ops import dft2d
+
+            return dft2d.irfft2_block(
+                x, self.grid.shape[-1], self._rows, self.mxu_precision
+            )
         if self.fft_impl in ("dft", "dft_aligned"):
             from tpu_cfd.ops import dft2d
 
@@ -232,6 +249,10 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
         return jnp.fft.irfft2(x, s=self.grid.shape)
 
     def _rfft2(self, x: Array) -> Array:
+        if self.fft_impl == "dft_galerkin":
+            from tpu_cfd.ops import dft2d
+
+            return dft2d.rfft2_block(x, self._rows, self._m, self.mxu_precision)
         if self.fft_impl in ("dft", "dft_aligned"):
             from tpu_cfd.ops import dft2d
 
@@ -239,11 +260,31 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
         return jnp.fft.rfft2(x)
 
     def _align(self, w: Array) -> Array:
-        """Public full-width spectrum -> internal (possibly truncated)."""
+        """Public full-layout spectrum -> internal (truncated) layout.
+
+        Runs once per ``forward`` call, never inside the step loop. For the
+        galerkin block this gathers the kept signed-x rows (positive block
+        then negative block, fft ordering compacted).
+        """
+        if self._rows is not None and w.shape[-2] != len(self._rows):
+            w = w[..., jnp.asarray(self._rows), :]
         return w[..., : self._m] if w.shape[-1] > self._m else w
 
-    def _unalign(self, w: Array, width: int) -> Array:
-        """Internal width -> the caller's width (zero-fill dropped modes)."""
+    def _unalign(self, w: Array, shape_in: Tuple[int, int]) -> Array:
+        """Internal layout -> the caller's spectral shape (zero-fill dropped).
+
+        ``shape_in`` is the trailing (rows, width) of the caller's input, so
+        block-shaped callers (the step loop) get the block back with no
+        scatter, and full-shape callers (the public API, the trajectory
+        recorder) get the zero-filled full layout.
+        """
+        height, width = shape_in
+        if w.shape[-2] != height:
+            npos = len(self._rows) - len(self._rows) // 2
+            gap = jnp.zeros(
+                (*w.shape[:-2], height - len(self._rows), w.shape[-1]), w.dtype
+            )
+            w = jnp.concatenate([w[..., :npos, :], gap, w[..., npos:, :]], axis=-2)
         if w.shape[-1] == width:
             return w
         pad = [(0, 0)] * (w.ndim - 1) + [(0, width - w.shape[-1])]
@@ -254,9 +295,24 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
             self.solver = RK4CrankNicolsonStepper()
         n = self.grid.shape[-1]
         self._m_full = n // 2 + 1
-        self._m = n // 2 if self.fft_impl == "dft_aligned" else self._m_full
+        self._rows = None
+        if self.fft_impl == "dft_galerkin":
+            from tpu_cfd.ops import dft2d
+
+            if not self.smooth:
+                raise ValueError(
+                    "fft_impl='dft_galerkin' steps on the 2/3-rule dealiasing "
+                    "support and requires smooth=True"
+                )
+            self._rows, self._m = dft2d.galerkin_block(n)
+        else:
+            self._m = n // 2 if self.fft_impl == "dft_aligned" else self._m_full
         kx, ky = self.grid.rfft_mesh(dtype=self.dtype)
-        self.kx, self.ky = kx[..., : self._m], ky[..., : self._m]
+        kx, ky = kx[..., : self._m], ky[..., : self._m]
+        if self._rows is not None:
+            rows = jnp.asarray(self._rows)
+            kx, ky = kx[rows, :], ky[rows, :]
+        self.kx, self.ky = kx, ky
         # Laplacian symbol WITHOUT the zero-mode guard (equations.py:398):
         # the guard only matters for the stream-function inversion, which
         # vorticity_to_velocity applies internally.
@@ -264,9 +320,20 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
             jnp.abs(self.kx) ** 2 + jnp.abs(self.ky) ** 2
         )
         self.linear_term = self.viscosity * self.laplace - self.drag
-        self.filter = brick_wall_filter_2d(self.grid, dtype=self.dtype)[
-            ..., : self._m
-        ]
+        if self._rows is not None:
+            # the internal state IS the filter support: the brick-wall mask
+            # restricted to the block is identically 1 (asserted), so the
+            # per-step multiply is dropped in _explicit_terms
+            full = brick_wall_filter_2d(self.grid, dtype=self.dtype)
+            blk = full[jnp.asarray(self._rows), : self._m]
+            assert bool(jnp.all(blk == 1)) and float(full.sum()) == blk.size, (
+                "galerkin block does not match the brick-wall filter support"
+            )
+            self.filter = None
+        else:
+            self.filter = brick_wall_filter_2d(self.grid, dtype=self.dtype)[
+                ..., : self._m
+            ]
 
     def _explicit_terms(self, vort_hat: Array) -> Array:
         vhat, _ = vorticity_to_velocity(self.grid, vort_hat, (self.kx, self.ky))
@@ -282,7 +349,8 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
         advection = -(grad_x * vx + grad_y * vy)
         advection_hat = self._rfft2(advection)
 
-        if self.smooth:
+        if self.smooth and self.filter is not None:
+            # (the galerkin block IS the filter support — nothing to mask)
             advection_hat = advection_hat * self.filter
 
         terms = advection_hat
@@ -301,22 +369,22 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
         return terms
 
     def explicit_terms(self, vort_hat: Array) -> Array:
-        # accept both the public full width and the internal aligned width
+        # accept both the public full layout and the internal aligned layout
         # (trajectories.record calls these on full-width snapshots)
-        width = vort_hat.shape[-1]
+        shape_in = vort_hat.shape[-2:]
         out = self._explicit_terms(self._align(vort_hat))
-        return self._unalign(out, width)
+        return self._unalign(out, shape_in)
 
     def implicit_terms(self, vort_hat: Array) -> Array:
-        width = vort_hat.shape[-1]
+        shape_in = vort_hat.shape[-2:]
         out = self.linear_term * self._align(vort_hat)
-        return self._unalign(out, width)
+        return self._unalign(out, shape_in)
 
     def implicit_solve(self, vort_hat: Array, dt: float) -> Array:
         # closed form per-mode solve: (1 - dt L)^{-1} (equations.py:446)
-        width = vort_hat.shape[-1]
+        shape_in = vort_hat.shape[-2:]
         out = 1 / (1 - dt * self.linear_term) * self._align(vort_hat)
-        return self._unalign(out, width)
+        return self._unalign(out, shape_in)
 
     def step(self, vort_hat: Array, dt: float, steps: int = 1):
         return self.forward(vort_hat, dt, steps)
@@ -329,7 +397,7 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
         ``steps`` is static; the loop lowers to one ``lax.scan`` so the whole
         rollout is a single compiled kernel sequence.
         """
-        width = vort_hat.shape[-1]
+        shape_in = vort_hat.shape[-2:]
         vort_hat = self._align(vort_hat)  # scan carries the aligned layout
         vort_old = vort_hat
         if steps == 1:
@@ -341,8 +409,8 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
             vort_hat, _ = jax.lax.scan(body, vort_hat, None, length=steps)
         dvortdt_hat = 1 / (steps * dt) * (vort_hat - vort_old)
         return (
-            self._unalign(vort_hat, width),
-            self._unalign(dvortdt_hat, width),
+            self._unalign(vort_hat, shape_in),
+            self._unalign(dvortdt_hat, shape_in),
         )
 
     __call__ = forward
