@@ -208,7 +208,7 @@ def main():
     trace_dir = args.trace
 
     solver = {}
-    for impl in ("fft", "dft", "dft_aligned"):
+    for impl in ("fft", "dft", "dft_aligned", "dft_galerkin"):
         sps, fl, hb = bench_solver(impl=impl, trace_dir=trace_dir)
         solver[impl] = {"b8_steps_per_s": sps, "flops": fl, "hbm": hb}
         dg, _, _ = bench_solver(batch=128, steps_per_call=100, n_calls=2,

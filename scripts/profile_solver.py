@@ -118,7 +118,7 @@ def main():
     ap.add_argument("--scaling", action="store_true",
                     help="fit per-call overhead vs per-step device time")
     ap.add_argument("--impl", default="fft",
-                    choices=["fft", "dft", "dft_aligned"])
+                    choices=["fft", "dft", "dft_aligned", "dft_galerkin"])
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "high", "default"])
     args = ap.parse_args()
