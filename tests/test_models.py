@@ -8,6 +8,7 @@ grid sizes, plus loss sanity checks.
 
 import os
 
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -180,6 +181,35 @@ class TestSFNO:
         gnorm = sum(
             float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)
         )
+        assert np.isfinite(gnorm) and gnorm > 0
+
+    def test_bf16_compute_dtype(self):
+        """compute_dtype="bfloat16" (activation storage only): identical
+        param tree, float32 output within bf16 tolerance of the fp32 path,
+        finite nonzero grads. Params/optimizer state stay fp32, so this is
+        checkpoint-compatible with the default."""
+        kw = dict(modes_x=4, modes_y=4, modes_t=2, width=8,
+                  latent_steps=6, num_spectral_layers=2)
+        m32 = SFNO(**kw)
+        m16 = SFNO(**kw, compute_dtype="bfloat16")
+        v = jax.random.normal(KEY, (2, 16, 16, 8)).astype(jnp.float32)
+        params = m32.init(KEY, v)
+        p16 = m16.init(KEY, v)
+        chex.assert_trees_all_equal_shapes_and_dtypes(params, p16)
+
+        o32 = m32.apply(params, v)
+        o16 = m16.apply(params, v)
+        assert o16.dtype == jnp.float32
+        rel = float(jnp.linalg.norm(o16 - o32) / jnp.linalg.norm(o32))
+        assert rel < 0.05, rel
+
+        g = jax.grad(
+            lambda p: ((m16.apply(p, v) - 1.0) ** 2).mean()
+        )(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(x.dtype == leaf.dtype for x, leaf in zip(
+            leaves, jax.tree_util.tree_leaves(params)))
+        gnorm = sum(float(jnp.abs(x).sum()) for x in leaves)
         assert np.isfinite(gnorm) and gnorm > 0
 
     def test_vector_output_divergence_free(self):

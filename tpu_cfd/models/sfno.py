@@ -267,6 +267,11 @@ class LiftingOperator(nn.Module):
     nonlinear: bool = True
     mxu_precision: str = "highest"
     impl: str = "dft"
+    # activation storage/compute dtype from the channel lifting onward
+    # (params and mode-space complex math keep their own dtype) — see
+    # SFNO.compute_dtype; None = flax promote-from-inputs (fp32/fp64 follow
+    # the input dtype, the historical behavior)
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, v: Array) -> Array:
@@ -284,7 +289,8 @@ class LiftingOperator(nn.Module):
             spatial_random_feats=self.spatial_random_feats,
         )(v)
         v = LayerNormnd()(v)
-        v = nn.Dense(self.width)(v)
+        cd = None if self.compute_dtype is None else jnp.dtype(self.compute_dtype)
+        v = nn.Dense(self.width, dtype=cd)(v)
         sconv = SpectralConvT(
             in_channels=self.width,
             out_channels=self.width,
@@ -298,11 +304,12 @@ class LiftingOperator(nn.Module):
         w = sconv(v)
         if self.nonlinear:
             w = PointwiseFFN(
-                self.width, self.channel_expansion * self.width, self.activation
+                self.width, self.channel_expansion * self.width,
+                self.activation, dtype=cd,
             )(w)
             act = get_activation(self.activation)
         else:
-            w = nn.Dense(self.width)(w)
+            w = nn.Dense(self.width, dtype=cd)(w)
             act = get_activation("Identity")
         # residual on the last input time step (reference sfno.py:258-259)
         return act(v[..., -1:, :] + w)
@@ -397,6 +404,12 @@ class SFNO(nn.Module):
     # spectral-conv implementation: "dft" (compact MXU matmuls, the fast
     # path) or "fft" (rfftn/scatter/irfftn, the bit-parity reference path)
     impl: str = "dft"
+    # activation storage dtype for the lifting + backbone ("bfloat16" halves
+    # the HBM traffic the train step is bound by). Params, optimizer state,
+    # the mode-space complex weights/matmuls, and OutConv (the final skip +
+    # Helmholtz output head) are untouched; the output keeps the input
+    # dtype. None = flax promote-from-inputs (fp32/fp64 follow the input).
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, v: Array, out_steps: Optional[int] = None) -> Array:
@@ -421,10 +434,12 @@ class SFNO(nn.Module):
             nonlinear=self.lift_activation,
             mxu_precision=self.mxu_precision,
             impl=self.impl,
+            compute_dtype=self.compute_dtype,
         )(v)
         self.sow("intermediates", "lifting", v)
 
         act = get_activation(self.activation)
+        cd = None if self.compute_dtype is None else jnp.dtype(self.compute_dtype)
         for i in range(self.num_spectral_layers - 1):
             x1 = SpectralConvS(
                 in_channels=self.width,
@@ -435,13 +450,17 @@ class SFNO(nn.Module):
                 impl=self.impl,
             )(v)
             x1 = PointwiseFFN(
-                self.width, self.channel_expansion * self.width, self.activation
+                self.width, self.channel_expansion * self.width,
+                self.activation, dtype=cd,
             )(x1)
-            x2 = nn.Dense(self.width)(v)
+            x2 = nn.Dense(self.width, dtype=cd)(v)
             v = act(x1 + x2)
             self.sow("intermediates", f"spectral_{i}", v)
 
-        v = nn.Dense(self.out_dim)(v)  # channel reduction (reference: width→1)
+        # channel reduction (reference: width→1); the head and everything
+        # after runs in the input dtype regardless of compute_dtype (fp64
+        # fine-tune runs stay fp64 end-to-end)
+        v = nn.Dense(self.out_dim)(v.astype(v_res.dtype))
         # "r": the reduced latent fed to OutConv — the tap the reference's
         # ``add_latent_hook("r")`` exposes for a-posteriori fine-tuning
         self.sow("intermediates", "r", v)
