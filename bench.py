@@ -103,7 +103,7 @@ def bench_solver(n=256, batch=8, steps_per_call=100, n_calls=5, impl="fft",
 
 
 def bench_sfno_train(n=64, batch=4, t_in=10, t_out=40, n_calls=30,
-                     trace_dir=None):
+                     trace_dir=None, compute_dtype=None):
     """SFNO train samples/sec/chip at the reference's fnodata configuration
     (modes 12/12/5, width 20 — examples/ex2_SFNO_train_fnodata.ipynb cells
     1-3), jitted value_and_grad + Adam update per call, XLA-chosen carry
@@ -115,7 +115,7 @@ def bench_sfno_train(n=64, batch=4, t_in=10, t_out=40, n_calls=30,
     from tpu_cfd.train import losses
 
     model = SFNO(modes_x=12, modes_y=12, modes_t=5, width=20, beta=1e-2,
-                 output_steps=t_out)
+                 output_steps=t_out, compute_dtype=compute_dtype)
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (batch, n, n, t_in), jnp.float32)
     y = jax.random.normal(key, (batch, n, n, t_out), jnp.float32)
@@ -222,6 +222,7 @@ def main():
 
     t4 = bench_sfno_train(trace_dir=trace_dir)
     t32 = bench_sfno_train(batch=32, n_calls=5)
+    t4_bf16 = bench_sfno_train(compute_dtype="bfloat16")
 
     result = {
         "metric": "McWilliams 256^2 batch=8 RK4-CN vorticity solver steps/s",
@@ -250,6 +251,8 @@ def main():
             },
             "sfno_train_b32_samples_per_s_per_chip": round(
                 t32["samples_per_s"], 2),
+            "sfno_train_bf16_act_samples_per_s_per_chip": round(
+                t4_bf16["samples_per_s"], 2),
             "sfno_train_costmodel": costmodel_bound(
                 t4["flops"], t4["hbm"], t4["samples_per_s"] / t4["batch"]),
         },

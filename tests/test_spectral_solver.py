@@ -522,6 +522,40 @@ class TestGalerkinSolverPath:
             mask[list(rows), :m] = False
             np.testing.assert_allclose(full[mask], 0.0, atol=1e-14)
 
+    def test_galerkin_forced_matches_aligned(self):
+        """Forced Kolmogorov flow: galerkin == dft_aligned to machine
+        precision (the forcing curl lands on low modes, inside the block),
+        and both track the fft path to the forcing's own fp32 noise floor —
+        the fft path retains the fp32-mesh rounding noise of the forcing
+        field at modes outside the dealias band (the brick-wall filter only
+        masks advection), which the truncated paths drop by construction."""
+        n = 64
+        grid = grids.Grid((n, n), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        w0 = ic.vorticity_field(
+            jax.random.PRNGKey(0), grid, 4, dtype=jnp.float64
+        ).data
+        what = jnp.fft.rfft2(w0) * spectral.brick_wall_filter_2d(
+            grid, jnp.float64
+        )
+        f = forcings.KolmogorovForcing(
+            grid=grid, scale=1.0, wave_number=4, diam=2 * np.pi
+        )
+        outs = {}
+        for impl in ("fft", "dft_aligned", "dft_galerkin"):
+            ns = equations.NavierStokes2DSpectral(
+                viscosity=1e-2, grid=grid, drag=0.1, dtype=jnp.float64,
+                forcing_fn=f, fft_impl=impl,
+            )
+            out, _ = jax.jit(
+                lambda w, e=ns: e.forward(w, 1e-3, steps=50)
+            )(what)
+            outs[impl] = np.asarray(out)
+        scale = np.abs(outs["fft"]).max()
+        d_exact = np.abs(outs["dft_galerkin"] - outs["dft_aligned"]).max()
+        d_fft = np.abs(outs["dft_galerkin"] - outs["fft"]).max()
+        assert d_exact / scale < 1e-12, d_exact / scale
+        assert d_fft / scale < 1e-5, d_fft / scale
+
     def test_galerkin_requires_smooth(self):
         grid = grids.Grid((32, 32), domain=((0, 1.0), (0, 1.0)))
         with pytest.raises(ValueError):

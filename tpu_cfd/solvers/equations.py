@@ -355,15 +355,17 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
 
         terms = advection_hat
         if self.forcing_fn is not None:
-            # forcing meshes default to float32; transform at the solver
-            # dtype so fp64 runs stay fp64 end-to-end
+            # evaluate the forcing in the solver dtype: an fp32-evaluated
+            # sin/cos carries ~1e-8 rounding noise across the whole
+            # spectrum, which fp64 runs would otherwise inherit (the
+            # dealias filter only masks advection)
             if not self.forcing_fn.vorticity:
-                fx, fy = self.forcing_fn(self.grid, (vx, vy))
+                fx, fy = self.forcing_fn(self.grid, (vx, vy), dtype=vx.dtype)
                 fx_hat = self._rfft2(fx.data.astype(vx.dtype))
                 fy_hat = self._rfft2(fy.data.astype(vx.dtype))
                 terms = terms + spectral_curl_2d((fx_hat, fy_hat), (self.kx, self.ky))
             else:
-                f = self.forcing_fn(self.grid, vort_hat)
+                f = self.forcing_fn(self.grid, vort_hat, dtype=vx.dtype)
                 f_hat = self._rfft2(f.data.astype(vx.dtype))
                 terms = terms + f_hat
         return terms

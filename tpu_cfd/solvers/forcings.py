@@ -45,21 +45,32 @@ class ForcingFn:
             self.offsets = self.grid.cell_faces
 
     def velocity_eval(
-        self, grid: Optional[Grid], velocity: Optional[Tuple[Array, Array]]
+        self, grid: Optional[Grid], velocity: Optional[Tuple[Array, Array]],
+        dtype=jnp.float32,
     ) -> Tuple[GridArray, GridArray]:
         raise NotImplementedError
 
-    def vorticity_eval(self, grid: Optional[Grid], vorticity: Optional[Array]) -> GridArray:
+    def vorticity_eval(
+        self, grid: Optional[Grid], vorticity: Optional[Array],
+        dtype=jnp.float32,
+    ) -> GridArray:
         raise NotImplementedError
 
     def __call__(
         self,
         grid: Optional[Grid] = None,
         field: Optional[Union[Tuple[Array, Array], Array]] = None,
+        dtype=jnp.float32,
     ):
+        """``dtype`` sets the coordinate-mesh/eval precision: fp64 solver
+        runs must evaluate the forcing in fp64 — an fp32-evaluated sin/cos
+        carries ~1e-8 relative rounding noise across the WHOLE spectrum,
+        which the dealiasing filter never touches (it only masks advection)
+        and which a 2/3-rule Galerkin truncation would drop, making the
+        transform paths visibly disagree."""
         if not self.vorticity:
-            return self.velocity_eval(grid, field)
-        return self.vorticity_eval(grid, field)
+            return self.velocity_eval(grid, field, dtype=dtype)
+        return self.vorticity_eval(grid, field, dtype=dtype)
 
 
 @dataclasses.dataclass
@@ -76,13 +87,13 @@ class KolmogorovForcing(ForcingFn):
             self.offsets = ((0.0, 0.0), (0.0, 0.0))
 
     def velocity_eval(
-        self, grid: Optional[Grid], velocity=None
+        self, grid: Optional[Grid], velocity=None, dtype=jnp.float32
     ) -> Tuple[GridArray, GridArray]:
         grid = self.grid if grid is None else grid
         offsets = self.offsets
         domain_factor = 2 * jnp.pi / self.diam
         if self.swap_xy:
-            x = grid.mesh(offsets[1])[0]
+            x = grid.mesh(offsets[1], dtype=dtype)[0]
             v = GridArray(
                 self.scale * jnp.sin(self.wave_number * domain_factor * x),
                 offsets[1],
@@ -90,7 +101,7 @@ class KolmogorovForcing(ForcingFn):
             )
             u = GridArray(jnp.zeros_like(v.data), (1, 1 / 2), grid)
         else:
-            y = grid.mesh(offsets[0])[1]
+            y = grid.mesh(offsets[0], dtype=dtype)[1]
             u = GridArray(
                 self.scale * jnp.sin(self.wave_number * domain_factor * y),
                 offsets[0],
@@ -99,12 +110,14 @@ class KolmogorovForcing(ForcingFn):
             v = GridArray(jnp.zeros_like(u.data), (1 / 2, 1), grid)
         return (u, v)
 
-    def vorticity_eval(self, grid: Optional[Grid], vorticity=None) -> GridArray:
+    def vorticity_eval(
+        self, grid: Optional[Grid], vorticity=None, dtype=jnp.float32
+    ) -> GridArray:
         grid = self.grid if grid is None else grid
         offsets = self.offsets
         domain_factor = 2 * jnp.pi / self.diam
         if self.swap_xy:
-            x = grid.mesh(offsets[1])[0]
+            x = grid.mesh(offsets[1], dtype=dtype)[0]
             w = GridArray(
                 -self.scale
                 * self.wave_number
@@ -114,7 +127,7 @@ class KolmogorovForcing(ForcingFn):
                 grid,
             )
         else:
-            y = grid.mesh(offsets[0])[1]
+            y = grid.mesh(offsets[0], dtype=dtype)[1]
             w = GridArray(
                 -self.scale
                 * self.wave_number
@@ -148,7 +161,7 @@ class SimpleSolenoidalForcing(ForcingFn):
         raise NotImplementedError
 
     def velocity_eval(
-        self, grid: Optional[Grid], velocity=None
+        self, grid: Optional[Grid], velocity=None, dtype=jnp.float32
     ) -> Tuple[GridArray, GridArray]:
         grid = self.grid if grid is None else grid
         offsets = self.offsets
@@ -156,30 +169,32 @@ class SimpleSolenoidalForcing(ForcingFn):
         k = self.wave_number * domain_factor
         scale = 0.5 * self.scale / (2 * jnp.pi) / self.wave_number
         if self.swap_xy:
-            x = grid.mesh(offsets[1])[0]
-            y = grid.mesh(offsets[0])[1]
+            x = grid.mesh(offsets[1], dtype=dtype)[0]
+            y = grid.mesh(offsets[0], dtype=dtype)[1]
             rot = self.potential(x, y, scale, k)
             v = GridArray(rot, offsets[1], grid)
             u = GridArray(-rot, (1, 1 / 2), grid)
         else:
-            x = grid.mesh(offsets[0])[0]
-            y = grid.mesh(offsets[1])[1]
+            x = grid.mesh(offsets[0], dtype=dtype)[0]
+            y = grid.mesh(offsets[1], dtype=dtype)[1]
             rot = self.potential(x, y, scale, k)
             u = GridArray(rot, offsets[0], grid)
             v = GridArray(-rot, (1 / 2, 1), grid)
         return (u, v)
 
-    def vorticity_eval(self, grid: Optional[Grid], vorticity=None) -> GridArray:
+    def vorticity_eval(
+        self, grid: Optional[Grid], vorticity=None, dtype=jnp.float32
+    ) -> GridArray:
         grid = self.grid if grid is None else grid
         offsets = self.offsets
         domain_factor = 2 * jnp.pi / self.diam
         k = self.wave_number * domain_factor
         if self.swap_xy:
-            x = grid.mesh(offsets[1])[0]
-            y = grid.mesh(offsets[0])[1]
+            x = grid.mesh(offsets[1], dtype=dtype)[0]
+            y = grid.mesh(offsets[0], dtype=dtype)[1]
         else:
-            x = grid.mesh(offsets[0])[0]
-            y = grid.mesh(offsets[1])[1]
+            x = grid.mesh(offsets[0], dtype=dtype)[0]
+            y = grid.mesh(offsets[1], dtype=dtype)[1]
         return GridArray(
             self.vort_potential(x, y, self.scale, k), offsets[0], grid
         )

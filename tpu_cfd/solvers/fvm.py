@@ -300,7 +300,10 @@ class NavierStokes2DFVMProjection(ProjectionExplicitODE):
         dv_dt = self.convect(v, dt)
         dv_dt += diffuse_velocity(v, self.viscosity / self.density)
         if self.forcing is not None:
-            dv_dt += GridArrayVector(tuple(self.forcing(self.grid, v))) / self.density
+            # evaluate in the field dtype so fp64 runs get fp64 forcing
+            dv_dt += GridArrayVector(tuple(
+                self.forcing(self.grid, v, dtype=v[0].dtype)
+            )) / self.density
         dv_dt = wrap_field_same_bcs(dv_dt, v)
         if self.drag > 0.0:
             dv_dt += -self.drag * v

@@ -124,6 +124,7 @@ def main(args=None):
         lift_activation=not args.lift_linear,
         latent_steps=args.latent_steps,
         mxu_precision=args.mxu_precision,
+        compute_dtype=args.compute_dtype,
     )
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
@@ -309,6 +310,12 @@ def get_parser() -> argparse.ArgumentParser:
                         choices=["highest", "high", "default"],
                         help="MXU precision of the spectral-conv DFT einsums"
                              " (accuracy/throughput ladder; RESULTS.md)")
+    parser.add_argument("--compute-dtype", type=str, default=None,
+                        choices=["float32", "bfloat16"],
+                        help="activation storage dtype of the SFNO lifting +"
+                             " backbone (params/optimizer stay fp32);"
+                             " bfloat16 halves the activation HBM traffic"
+                             " the train step is bound by")
     parser.add_argument("--norm-order", type=float, default=0.0)
     parser.add_argument("--eval-only", default=False, action="store_true")
     parser.add_argument("--train-only", default=False, action="store_true")
