@@ -212,6 +212,21 @@ class TestSFNO:
         gnorm = sum(float(jnp.abs(x).sum()) for x in leaves)
         assert np.isfinite(gnorm) and gnorm > 0
 
+    def test_fno3d_bf16_compute_dtype(self):
+        from tpu_cfd.models.fno3d import FNO3d
+
+        kw = dict(modes1=4, modes2=4, modes3=2, width=8,
+                  num_spectral_layers=2, channel_expansion=16)
+        m32, m16 = FNO3d(**kw), FNO3d(**kw, compute_dtype="bfloat16")
+        x = jax.random.normal(KEY, (2, 16, 16, 6, 13)).astype(jnp.float32)
+        params = m32.init(KEY, x)
+        chex.assert_trees_all_equal_shapes_and_dtypes(params, m16.init(KEY, x))
+        o32, _ = m32.apply(params, x)
+        o16, _ = m16.apply(params, x)
+        assert o16.dtype == jnp.float32
+        rel = float(jnp.linalg.norm(o16 - o32) / jnp.linalg.norm(o32))
+        assert rel < 0.05, rel
+
     def test_vector_output_divergence_free(self):
         """out_dim=2 output is Helmholtz-projected through the full model.
 

@@ -361,6 +361,12 @@ class SpectralConv(nn.Module):
         fft_mesh_size = list(mesh_size)
         fft_mesh_size[-1] = mesh_size[-1] // 2 + 1
         axes = self._fft_axes(v)
+        # rfftn accepts only fp32/fp64 — bf16 activations (compute_dtype)
+        # transform in fp32 and return in the activation dtype
+        in_dtype = v.dtype
+        if in_dtype == jnp.bfloat16:
+            v = v.astype(jnp.float32)
         v_hat = jnp.fft.rfftn(v, axes=axes, norm=self.norm)
         v_hat = self.spectral_conv(v_hat, *fft_mesh_size)
-        return jnp.fft.irfftn(v_hat, s=out_mesh_size, axes=axes, norm=self.norm)
+        out = jnp.fft.irfftn(v_hat, s=out_mesh_size, axes=axes, norm=self.norm)
+        return out.astype(in_dtype)

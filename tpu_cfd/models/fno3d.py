@@ -12,7 +12,7 @@ channels-first transpose — 1×1 convs are Dense matmuls on the MXU.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -43,18 +43,22 @@ class SpectralConv3d(SpectralConv):
 
 
 class MLP3d(nn.Module):
-    """Pointwise 2-layer MLP (fno3d.py:119)."""
+    """Pointwise 2-layer MLP (fno3d.py:119).
+
+    ``dtype`` is the flax computation dtype (params stay float32; None =
+    promote from inputs) — see SFNO.compute_dtype."""
 
     out_channels: int
     mid_channels: int
     activation: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.Dense(self.mid_channels)(x)
+        x = nn.Dense(self.mid_channels, dtype=self.dtype)(x)
         if self.activation:
             x = nn.gelu(x)
-        return nn.Dense(self.out_channels)(x)
+        return nn.Dense(self.out_channels, dtype=self.dtype)(x)
 
 
 class FNO3d(nn.Module):
@@ -75,10 +79,16 @@ class FNO3d(nn.Module):
     last_activation: bool = False
     padding: int = 0
     channel_expansion: int = 128
+    # activation storage dtype of the backbone ("bfloat16" halves activation
+    # HBM traffic; params/optimizer and the output head stay in the input
+    # dtype) — see SFNO.compute_dtype
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, None]:
-        x = nn.Dense(self.width)(x)  # lifting p (fno3d.py:178)
+        in_dtype = x.dtype
+        cd = None if self.compute_dtype is None else jnp.dtype(self.compute_dtype)
+        x = nn.Dense(self.width, dtype=cd)(x)  # lifting p (fno3d.py:178)
 
         if self.padding != 0:
             p = self.padding
@@ -93,8 +103,8 @@ class FNO3d(nn.Module):
                 out_channels=self.width,
                 modes=(self.modes1, self.modes2, self.modes3),
             )(x)
-            x1 = MLP3d(self.width, self.width)(x1)
-            x2 = nn.Dense(self.width)(x)
+            x1 = MLP3d(self.width, self.width, dtype=cd)(x1)
+            x2 = nn.Dense(self.width, dtype=cd)(x)
             x = x1 + x2
             if layer < self.num_spectral_layers - 1 or self.last_activation:
                 x = nn.gelu(x)
@@ -103,7 +113,10 @@ class FNO3d(nn.Module):
             p = self.padding
             x = x[:, p:-p, p:-p, :, :]
 
-        x = MLP3d(1, self.channel_expansion, activation=self.last_activation)(x)
+        # output head in the input dtype regardless of compute_dtype
+        x = MLP3d(1, self.channel_expansion, activation=self.last_activation)(
+            x.astype(in_dtype)
+        )
         return x[..., 0], None
 
 
