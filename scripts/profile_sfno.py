@@ -25,14 +25,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_one(width, batch, n=64, t_in=10, t_out=40, n_calls=8):
+def bench_one(width, batch, n=64, t_in=10, t_out=40, n_calls=8,
+              compute_dtype=None):
     import optax
 
     from tpu_cfd.models import SFNO
     from tpu_cfd.train import losses
 
     model = SFNO(modes_x=12, modes_y=12, modes_t=5, width=width, beta=1e-2,
-                 output_steps=t_out)
+                 output_steps=t_out, compute_dtype=compute_dtype)
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (batch, n, n, t_in), jnp.float32)
     y = jax.random.normal(key, (batch, n, n, t_out), jnp.float32)
@@ -68,11 +69,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--widths", default="20,64,128")
     ap.add_argument("--batches", default="4,32")
+    ap.add_argument("--compute-dtype", default=None,
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
     out = []
     for w in [int(x) for x in args.widths.split(",")]:
         for b in [int(x) for x in args.batches.split(",")]:
-            r = bench_one(w, b)
+            r = bench_one(w, b, compute_dtype=args.compute_dtype)
+            r["compute_dtype"] = args.compute_dtype or "float32"
             print(json.dumps(r), flush=True)
             out.append(r)
     print(json.dumps({"sweep": out}))
