@@ -88,6 +88,8 @@ def main():
         ("dft_aligned", "highest"),
         ("dft_aligned", "high"),
         ("dft_aligned", "default"),
+        ("dft_galerkin", "highest"),
+        ("dft_galerkin", "high"),
     ]
     ref = {}
     for steps in (1, 100, args.spectrum_steps):
