@@ -204,15 +204,31 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture jax.profiler traces under DIR")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny-shape pass over every bench code path "
+                         "(CPU-runnable correctness check of the bench "
+                         "itself, not a measurement)")
     args = ap.parse_args()
     trace_dir = args.trace
 
+    if args.smoke:
+        sol_kw = dict(n=64, steps_per_call=5, n_calls=2)
+        sol_b128 = dict(n=64, batch=16, steps_per_call=5, n_calls=1)
+        sfno_kw = dict(n=16, t_in=10, t_out=12)
+        sfno_kw_calls = 2
+        b32, b32_calls = 8, 1
+    else:
+        sol_kw = dict()
+        sol_b128 = dict(batch=128, steps_per_call=100, n_calls=2)
+        sfno_kw = dict()
+        sfno_kw_calls = 30
+        b32, b32_calls = 32, 5
+
     solver = {}
     for impl in ("fft", "dft", "dft_aligned", "dft_galerkin"):
-        sps, fl, hb = bench_solver(impl=impl, trace_dir=trace_dir)
+        sps, fl, hb = bench_solver(impl=impl, trace_dir=trace_dir, **sol_kw)
         solver[impl] = {"b8_steps_per_s": sps, "flops": fl, "hbm": hb}
-        dg, _, _ = bench_solver(batch=128, steps_per_call=100, n_calls=2,
-                                impl=impl)
+        dg, _, _ = bench_solver(impl=impl, **sol_b128)
         solver[impl]["b128_steps_per_s"] = dg
 
     headline_impl = max(solver, key=lambda k: solver[k]["b8_steps_per_s"])
@@ -220,9 +236,9 @@ def main():
     steps_per_s = solver[headline_impl]["b8_steps_per_s"]
     dgen = solver[datagen_impl]["b128_steps_per_s"]
 
-    t4 = bench_sfno_train(trace_dir=trace_dir)
-    t32 = bench_sfno_train(batch=32, n_calls=5)
-    t4_bf16 = bench_sfno_train(compute_dtype="bfloat16")
+    t4 = bench_sfno_train(trace_dir=trace_dir, n_calls=sfno_kw_calls, **sfno_kw)
+    t32 = bench_sfno_train(batch=b32, n_calls=b32_calls, **sfno_kw)
+    t4_bf16 = bench_sfno_train(compute_dtype="bfloat16", n_calls=sfno_kw_calls, **sfno_kw)
 
     result = {
         "metric": "McWilliams 256^2 batch=8 RK4-CN vorticity solver steps/s",
