@@ -522,6 +522,31 @@ class TestGalerkinSolverPath:
             mask[list(rows), :m] = False
             np.testing.assert_allclose(full[mask], 0.0, atol=1e-14)
 
+    @pytest.mark.slow
+    def test_galerkin_256_production_parity(self):
+        """Production resolution (256², the data-gen config): galerkin ==
+        fft to machine precision over a 30-step fp64 rollout."""
+        n = 256
+        grid = grids.Grid((n, n), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        w0 = ic.vorticity_field(
+            jax.random.PRNGKey(0), grid, 4, dtype=jnp.float64
+        ).data
+        what = jnp.fft.rfft2(w0) * spectral.brick_wall_filter_2d(
+            grid, jnp.float64
+        )
+        outs = {}
+        for impl in ("fft", "dft_galerkin"):
+            ns = equations.NavierStokes2DSpectral(
+                viscosity=1e-3, grid=grid, dtype=jnp.float64, fft_impl=impl,
+            )
+            out, _ = jax.jit(
+                lambda w, e=ns: e.forward(w, 1e-3, steps=30)
+            )(what)
+            outs[impl] = np.asarray(out)
+        scale = np.abs(outs["fft"]).max()
+        d = np.abs(outs["dft_galerkin"] - outs["fft"]).max() / scale
+        assert d < 1e-12, d
+
     def test_galerkin_forced_matches_aligned(self):
         """Forced Kolmogorov flow: galerkin == dft_aligned to machine
         precision (the forcing curl lands on low modes, inside the block),

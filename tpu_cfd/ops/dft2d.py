@@ -23,6 +23,14 @@ fp32 after any warmup (viscous decay exp(-ν k² t) at k = n/2), so the
 truncation is exact in practice; the irfft treats missing columns as zeros,
 exactly like ``jnp.fft.irfft2`` of a zero-padded spectrum.
 
+``rfft2_block``/``irfft2_block`` go further: they restrict BOTH spectral
+axes to the 2/3-rule dealiasing support (``galerkin_block``) — the signed
+x-mode rows and the low y columns the brick-wall filter keeps. A dealiased
+solver state provably lives on that block, so stepping on it is an exact
+Galerkin restriction of the filtered dynamics that cuts ~55% of the
+transform FLOPs and ~55% of the spectral elementwise/HBM traffic, and turns
+the per-step filter multiply into an identity.
+
 No reference counterpart — the reference's hot loop calls torch.fft
 (equations.py:413-438); this module is the TPU-native redesign of that load.
 """
