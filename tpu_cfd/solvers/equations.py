@@ -324,9 +324,20 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
             # the internal state IS the filter support: the brick-wall mask
             # restricted to the block is identically 1 (asserted), so the
             # per-step multiply is dropped in _explicit_terms
-            full = brick_wall_filter_2d(self.grid, dtype=self.dtype)
-            blk = full[jnp.asarray(self._rows), : self._m]
-            assert bool(jnp.all(blk == 1)) and float(full.sum()) == blk.size, (
+            # host-side numpy check (no eager device dispatch at init —
+            # CLAUDE.md: eager op chains are slow/fragile on this backend);
+            # mask construction mirrors ops.spectral.brick_wall_filter_2d
+            import numpy as np
+
+            n_chk = self.grid.shape[-1]
+            kx_ord = np.round(np.fft.fftfreq(n_chk) * n_chk).astype(int)
+            kmax_x = int(2 / 3 * n_chk) // 2
+            full = np.outer(
+                (-kmax_x <= kx_ord) & (kx_ord < kmax_x),
+                np.arange(n_chk // 2 + 1) < int(2 / 3 * (n_chk // 2 + 1)),
+            )
+            blk = full[np.asarray(self._rows), : self._m]
+            assert blk.all() and int(full.sum()) == blk.size, (
                 "galerkin block does not match the brick-wall filter support"
             )
             self.filter = None
