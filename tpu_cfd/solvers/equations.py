@@ -296,6 +296,11 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
         n = self.grid.shape[-1]
         self._m_full = n // 2 + 1
         self._rows = None
+        if self.fft_impl not in ("fft", "dft", "dft_aligned", "dft_galerkin"):
+            raise ValueError(
+                f"unknown fft_impl {self.fft_impl!r}; expected one of "
+                "'fft', 'dft', 'dft_aligned', 'dft_galerkin'"
+            )
         if self.fft_impl == "dft_galerkin":
             from tpu_cfd.ops import dft2d
 
