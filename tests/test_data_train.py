@@ -325,6 +325,34 @@ class TestIncrementalIO:
         with np.load(path) as z:
             np.testing.assert_array_equal(z["random_states"], [0, 1, 2, 3, 4])
 
+    def test_solver_config_meta_pins_resume(self, tmp_path):
+        """A resumable dataset records its solver config in a sidecar meta
+        file; resuming WITHOUT --fft-impl adopts the recorded impl instead
+        of the (version-dependent) default, so one dataset never silently
+        mixes transform implementations."""
+        import json
+
+        from tpu_cfd.data import generate
+
+        flags = ["--grid-size", "32", "--time", "0.5", "--time-warmup",
+                 "0.2", "--num-steps", "4", "--batch-size", "2",
+                 "--filepath", str(tmp_path), "--logpath", str(tmp_path)]
+        path = generate.main_mcwilliams(
+            flags + ["--num-samples", "2", "--fft-impl", "fft"]
+        )
+        meta = json.load(open(str(path) + ".meta.json"))
+        assert meta["fft_impl"] == "fft"
+
+        path2 = generate.main_mcwilliams(
+            flags + ["--num-samples", "4",
+                     "--filename", os.path.basename(str(path))]
+        )
+        with np.load(path2) as z:
+            assert z["vorticity"].shape[0] == 4
+        # the meta still records the original impl
+        meta2 = json.load(open(str(path2) + ".meta.json"))
+        assert meta2["fft_impl"] == "fft"
+
     def test_parse_diam(self):
         assert data_utils.parse_diam("2pi") == pytest.approx(2 * np.pi)
         assert data_utils.parse_diam(1.5) == 1.5

@@ -175,6 +175,7 @@ def run_generation(
 
     grid = grids.Grid((n, n), domain=((0, diam), (0, diam)))
     fft_impl = getattr(args, "fft_impl", None)
+    fft_impl_explicit = fft_impl is not None
     if fft_impl is None:
         # default: MXU matmul path restricted to the 2/3-rule block on the
         # accelerator (exact for the dealiased dynamics), jnp.fft for fp64
@@ -184,6 +185,43 @@ def run_generation(
             fft_impl = "fft"
         else:
             fft_impl = "dft_galerkin"
+    mxu_precision = getattr(args, "mxu_precision", "high")
+    # sidecar metadata pins the solver configuration of a resumable run:
+    # different fft_impls agree only to the fp32 noise floor, so parts of
+    # one dataset must never mix them silently (the default impl can change
+    # between framework versions)
+    meta_path = data_filepath + ".meta.json"
+    if existing > 0 and os.path.exists(meta_path):
+        import json as _json
+
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        rec_impl = meta.get("fft_impl")
+        rec_prec = meta.get("mxu_precision")
+        if rec_impl and rec_impl != fft_impl:
+            if fft_impl_explicit:
+                logger.warning(
+                    f"resuming {data_filepath} with --fft-impl {fft_impl} "
+                    f"but existing samples were generated with {rec_impl}; "
+                    "the dataset will mix transform implementations"
+                )
+            else:
+                logger.info(
+                    f"resume: adopting recorded fft_impl={rec_impl} "
+                    f"(current default would be {fft_impl})"
+                )
+                fft_impl = rec_impl
+                if rec_prec:
+                    mxu_precision = rec_prec
+    elif existing == 0:
+        import json as _json
+
+        with open(meta_path, "w") as f:
+            _json.dump(
+                {"fft_impl": fft_impl, "mxu_precision": mxu_precision,
+                 "dt": dt, "visc": visc, "seed": args.seed,
+                 "double": bool(args.double),
+                 "dealias": not args.no_dealias}, f)
     ns2d = NavierStokes2DSpectral(
         viscosity=visc,
         grid=grid,
@@ -193,7 +231,7 @@ def run_generation(
         solver=solver or RK4CrankNicolsonStepper(),
         dtype=compute_dtype,
         fft_impl=fft_impl,
-        mxu_precision=getattr(args, "mxu_precision", "high"),
+        mxu_precision=mxu_precision,
     )
     fields = (
         ("vorticity", "stream", "vort_t", "residual")
