@@ -581,6 +581,39 @@ class TestGalerkinSolverPath:
         assert d_exact / scale < 1e-12, d_exact / scale
         assert d_fft / scale < 1e-5, d_fft / scale
 
+    def test_galerkin_gradient_semantics(self):
+        """Differentiating through the galerkin rollout: gradient components
+        on the block match the fft path to machine precision; components at
+        dropped modes are exactly zero (the gradient of the RESTRICTED
+        dynamics — the fft path's nonzero out-of-block gradient reflects
+        non-physical perturbations the dealiased dynamics never sees)."""
+        from tpu_cfd.ops import dft2d
+
+        n = 32
+        grid = grids.Grid((n, n), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        w0 = ic.vorticity_field(
+            jax.random.PRNGKey(0), grid, 4, dtype=jnp.float64
+        ).data
+        what = jnp.fft.rfft2(w0) * spectral.brick_wall_filter_2d(
+            grid, jnp.float64
+        )
+        gs = {}
+        for impl in ("fft", "dft_galerkin"):
+            ns = equations.NavierStokes2DSpectral(
+                viscosity=1e-3, grid=grid, dtype=jnp.float64, fft_impl=impl,
+            )
+            f = lambda w, e=ns: jnp.sum(
+                jnp.abs(e.forward(w, 1e-3, steps=10)[0]) ** 2
+            )
+            gs[impl] = np.asarray(jax.jit(jax.grad(f))(what))
+        rows, m = dft2d.galerkin_block(n)
+        mask = np.zeros((n, n // 2 + 1), bool)
+        mask[list(rows), :m] = True
+        scale = np.abs(gs["fft"]).max()
+        diff = np.abs(gs["dft_galerkin"] - gs["fft"])
+        assert diff[mask].max() / scale < 1e-12
+        assert np.abs(gs["dft_galerkin"][~mask]).max() == 0.0
+
     def test_galerkin_requires_smooth(self):
         grid = grids.Grid((32, 32), domain=((0, 1.0), (0, 1.0)))
         with pytest.raises(ValueError):

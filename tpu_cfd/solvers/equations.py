@@ -230,7 +230,10 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
     # an exact Galerkin restriction of the filtered dynamics, not an
     # approximation (entry restriction drops only modes the filter would
     # have killed; they are zero to fp32 after any warmup, as for
-    # dft_aligned's Nyquist column).
+    # dft_aligned's Nyquist column). Gradients: on-block components match
+    # the fft path to machine precision; components at dropped modes are
+    # exactly zero (the gradient of the restricted dynamics — tested in
+    # tests/test_spectral_solver.py::test_galerkin_gradient_semantics).
     fft_impl: str = "fft"
     # MXU precision for the dft paths ("highest" = full fp32)
     mxu_precision: str = "highest"
