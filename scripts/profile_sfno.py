@@ -26,14 +26,14 @@ import numpy as np
 
 
 def bench_one(width, batch, n=64, t_in=10, t_out=40, n_calls=8,
-              compute_dtype=None):
+              compute_dtype=None, remat=False):
     import optax
 
     from tpu_cfd.models import SFNO
     from tpu_cfd.train import losses
 
     model = SFNO(modes_x=12, modes_y=12, modes_t=5, width=width, beta=1e-2,
-                 output_steps=t_out, compute_dtype=compute_dtype)
+                 output_steps=t_out, compute_dtype=compute_dtype, remat=remat)
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (batch, n, n, t_in), jnp.float32)
     y = jax.random.normal(key, (batch, n, n, t_out), jnp.float32)
@@ -71,12 +71,16 @@ def main():
     ap.add_argument("--batches", default="4,32")
     ap.add_argument("--compute-dtype", default=None,
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--remat", default=False, action="store_true",
+                    help="rematerialize lifting/backbone blocks in backward")
     args = ap.parse_args()
     out = []
     for w in [int(x) for x in args.widths.split(",")]:
         for b in [int(x) for x in args.batches.split(",")]:
-            r = bench_one(w, b, compute_dtype=args.compute_dtype)
+            r = bench_one(w, b, compute_dtype=args.compute_dtype,
+                          remat=args.remat)
             r["compute_dtype"] = args.compute_dtype or "float32"
+            r["remat"] = args.remat
             print(json.dumps(r), flush=True)
             out.append(r)
     print(json.dumps({"sweep": out}))

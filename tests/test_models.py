@@ -212,6 +212,32 @@ class TestSFNO:
         gnorm = sum(float(jnp.abs(x).sum()) for x in leaves)
         assert np.isfinite(gnorm) and gnorm > 0
 
+    def test_remat_identical_params_outputs_grads(self):
+        """remat=True (backward-pass rematerialization of the lifting +
+        backbone blocks): identical param tree (explicit scope names pin the
+        module paths, so checkpoints interchange), bitwise-equal forward,
+        and gradients equal to fp32 roundoff — remat changes WHEN
+        activations are computed, never what."""
+        kw = dict(modes_x=4, modes_y=4, modes_t=2, width=8,
+                  latent_steps=6, num_spectral_layers=3)
+        m0 = SFNO(**kw)
+        m1 = SFNO(**kw, remat=True)
+        v = jax.random.normal(KEY, (2, 16, 16, 8)).astype(jnp.float32)
+        params = m0.init(KEY, v)
+        chex.assert_trees_all_equal_structs(params, m1.init(KEY, v))
+
+        o0 = jax.jit(m0.apply)(params, v)
+        o1 = jax.jit(m1.apply)(params, v)
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                                   rtol=1e-6, atol=1e-6)
+
+        def loss(m):
+            return lambda p: ((m.apply(p, v) - 1.0) ** 2).mean()
+
+        g0 = jax.jit(jax.grad(loss(m0)))(params)
+        g1 = jax.jit(jax.grad(loss(m1)))(params)
+        chex.assert_trees_all_close(g0, g1, rtol=1e-5, atol=1e-7)
+
     def test_fno3d_bf16_compute_dtype(self):
         from tpu_cfd.models.fno3d import FNO3d
 

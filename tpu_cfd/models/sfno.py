@@ -410,6 +410,13 @@ class SFNO(nn.Module):
     # Helmholtz output head) are untouched; the output keeps the input
     # dtype. None = flax promote-from-inputs (fp32/fp64 follow the input).
     compute_dtype: Optional[str] = None
+    # rematerialize the lifting + backbone blocks in the backward pass
+    # (flax lifted ``nn.remat``): the train step is activation-HBM-traffic
+    # bound (RESULTS.md), so not storing the FFN's 4x-expanded hidden and the
+    # spectral-conv intermediates trades cheap recompute for the dominant
+    # bytes. Param tree is unchanged (explicit names pin the module scopes),
+    # so checkpoints are interchangeable with remat off.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, v: Array, out_steps: Optional[int] = None) -> Array:
@@ -420,7 +427,14 @@ class SFNO(nn.Module):
         v_res = v
         v = v[..., None]  # (b, x, y, t, 1)
 
-        v = LiftingOperator(
+        # lifted remat wrappers rename module scopes (Checkpoint<cls>_N), so
+        # every wrapped instance carries an explicit name matching flax's
+        # auto-assigned one — param trees are identical with remat on or off
+        Lift = nn.remat(LiftingOperator) if self.remat else LiftingOperator
+        ConvS = nn.remat(SpectralConvS) if self.remat else SpectralConvS
+        FFN = nn.remat(PointwiseFFN) if self.remat else PointwiseFFN
+
+        v = Lift(
             width=self.width,
             modes_x=self.modes_x,
             modes_y=self.modes_y,
@@ -435,23 +449,26 @@ class SFNO(nn.Module):
             mxu_precision=self.mxu_precision,
             impl=self.impl,
             compute_dtype=self.compute_dtype,
+            name="LiftingOperator_0",
         )(v)
         self.sow("intermediates", "lifting", v)
 
         act = get_activation(self.activation)
         cd = None if self.compute_dtype is None else jnp.dtype(self.compute_dtype)
         for i in range(self.num_spectral_layers - 1):
-            x1 = SpectralConvS(
+            x1 = ConvS(
                 in_channels=self.width,
                 out_channels=self.width,
                 modes=(self.modes_x, self.modes_y, self.modes_t),
                 norm=self.fft_norm,
                 mxu_precision=self.mxu_precision,
                 impl=self.impl,
+                name=f"SpectralConvS_{i}",
             )(v)
-            x1 = PointwiseFFN(
+            x1 = FFN(
                 self.width, self.channel_expansion * self.width,
                 self.activation, dtype=cd,
+                name=f"PointwiseFFN_{i}",
             )(x1)
             x2 = nn.Dense(self.width, dtype=cd)(v)
             v = act(x1 + x2)

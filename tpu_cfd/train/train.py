@@ -125,6 +125,7 @@ def main(args=None):
         latent_steps=args.latent_steps,
         mxu_precision=args.mxu_precision,
         compute_dtype=args.compute_dtype,
+        remat=args.remat,
     )
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
@@ -316,6 +317,11 @@ def get_parser() -> argparse.ArgumentParser:
                              " backbone (params/optimizer stay fp32);"
                              " bfloat16 halves the activation HBM traffic"
                              " the train step is bound by")
+    parser.add_argument("--remat", default=False, action="store_true",
+                        help="rematerialize the SFNO lifting/backbone blocks"
+                             " in the backward pass (trades recompute for"
+                             " the activation bytes the step is bound by;"
+                             " checkpoint-compatible either way)")
     parser.add_argument("--norm-order", type=float, default=0.0)
     parser.add_argument("--eval-only", default=False, action="store_true")
     parser.add_argument("--train-only", default=False, action="store_true")
