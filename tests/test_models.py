@@ -253,6 +253,23 @@ class TestSFNO:
         rel = float(jnp.linalg.norm(o16 - o32) / jnp.linalg.norm(o32))
         assert rel < 0.05, rel
 
+    def test_fno3d_remat_identical(self):
+        from tpu_cfd.models.fno3d import FNO3d
+
+        kw = dict(modes1=4, modes2=4, modes3=2, width=8,
+                  num_spectral_layers=2, channel_expansion=16)
+        m0, m1 = FNO3d(**kw), FNO3d(**kw, remat=True)
+        x = jax.random.normal(KEY, (2, 16, 16, 6, 13)).astype(jnp.float32)
+        params = m0.init(KEY, x)
+        chex.assert_trees_all_equal_structs(params, m1.init(KEY, x))
+        o0, _ = jax.jit(m0.apply)(params, x)
+        o1, _ = jax.jit(m1.apply)(params, x)
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                                   rtol=1e-6, atol=1e-6)
+        g0 = jax.jit(jax.grad(lambda p: ((m0.apply(p, x)[0]) ** 2).mean()))(params)
+        g1 = jax.jit(jax.grad(lambda p: ((m1.apply(p, x)[0]) ** 2).mean()))(params)
+        chex.assert_trees_all_close(g0, g1, rtol=1e-5, atol=1e-7)
+
     def test_vector_output_divergence_free(self):
         """out_dim=2 output is Helmholtz-projected through the full model.
 

@@ -83,11 +83,16 @@ class FNO3d(nn.Module):
     # HBM traffic; params/optimizer and the output head stay in the input
     # dtype) — see SFNO.compute_dtype
     compute_dtype: Optional[str] = None
+    # rematerialize backbone blocks in the backward pass — see SFNO.remat
+    # (explicit scope names keep the param tree checkpoint-compatible)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, None]:
         in_dtype = x.dtype
         cd = None if self.compute_dtype is None else jnp.dtype(self.compute_dtype)
+        Conv3d = nn.remat(SpectralConv3d) if self.remat else SpectralConv3d
+        MLP = nn.remat(MLP3d) if self.remat else MLP3d
         x = nn.Dense(self.width, dtype=cd)(x)  # lifting p (fno3d.py:178)
 
         if self.padding != 0:
@@ -98,12 +103,14 @@ class FNO3d(nn.Module):
             )
 
         for layer in range(self.num_spectral_layers):
-            x1 = SpectralConv3d(
+            x1 = Conv3d(
                 in_channels=self.width,
                 out_channels=self.width,
                 modes=(self.modes1, self.modes2, self.modes3),
+                name=f"SpectralConv3d_{layer}",
             )(x)
-            x1 = MLP3d(self.width, self.width, dtype=cd)(x1)
+            x1 = MLP(self.width, self.width, dtype=cd,
+                     name=f"MLP3d_{layer}")(x1)
             x2 = nn.Dense(self.width, dtype=cd)(x)
             x = x1 + x2
             if layer < self.num_spectral_layers - 1 or self.last_activation:
@@ -113,8 +120,11 @@ class FNO3d(nn.Module):
             p = self.padding
             x = x[:, p:-p, p:-p, :, :]
 
-        # output head in the input dtype regardless of compute_dtype
-        x = MLP3d(1, self.channel_expansion, activation=self.last_activation)(
+        # output head in the input dtype regardless of compute_dtype (named
+        # explicitly: the remat-wrapped loop MLPs pin MLP3d_0..n-1, so the
+        # head must pin the continuation of that sequence either way)
+        x = MLP3d(1, self.channel_expansion, activation=self.last_activation,
+                  name=f"MLP3d_{self.num_spectral_layers}")(
             x.astype(in_dtype)
         )
         return x[..., 0], None
