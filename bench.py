@@ -78,9 +78,14 @@ def _solver_setup(n, batch, impl, precision="high"):
     )
     # precision "high" is the adopted data-gen default: measured physics-
     # indistinguishable from the fp32 FFT path (scripts/
-    # validate_dft_precision.py; RESULTS.md precision ladder)
+    # validate_dft_precision.py; RESULTS.md precision ladder).
+    # "dft_aligned_fused" = the aligned layout stepped by the fused Pallas
+    # VMEM-resident kernel (ops/pallas/spectral_step.py).
+    fused = impl == "dft_aligned_fused"
     ns = equations.NavierStokes2DSpectral(
-        viscosity=1e-3, grid=grid, fft_impl=impl, mxu_precision=precision
+        viscosity=1e-3, grid=grid,
+        fft_impl="dft_aligned" if fused else impl,
+        mxu_precision=precision, fused=fused,
     )
     return ns, jnp.fft.rfft2(w0)
 
@@ -225,7 +230,8 @@ def main():
         b32, b32_calls = 32, 5
 
     solver = {}
-    for impl in ("fft", "dft", "dft_aligned", "dft_galerkin"):
+    for impl in ("fft", "dft", "dft_aligned", "dft_galerkin",
+                 "dft_aligned_fused"):
         sps, fl, hb = bench_solver(impl=impl, trace_dir=trace_dir, **sol_kw)
         solver[impl] = {"b8_steps_per_s": sps, "flops": fl, "hbm": hb}
         dg, _, _ = bench_solver(impl=impl, **sol_b128)

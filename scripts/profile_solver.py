@@ -67,21 +67,32 @@ def scaling_mode(n, batch, impl="fft", precision="highest"):
     """Separates per-CALL dispatch latency from per-ITERATION device time by
     timing scan programs of several lengths: t(call) = a + len * b."""
     grid, ns, what = make_state(n, batch)
+    fused = impl == "dft_aligned_fused"
     if impl != "fft":
         ns = equations.NavierStokes2DSpectral(
-            viscosity=1e-3, grid=grid, fft_impl=impl, mxu_precision=precision
+            viscosity=1e-3, grid=grid,
+            fft_impl="dft_aligned" if fused else impl,
+            mxu_precision=precision, fused=fused,
         )
         what = ns._align(what)
     dt = 1e-3
 
     def timed_call(length, reps=4):
-        @jax.jit
-        def run(w):
-            out, _ = jax.lax.scan(
-                lambda c, _: (ns.solver(c, dt, ns), None), w, None,
-                length=length,
-            )
-            return out
+        if fused:
+            # the fused kernel IS the steps loop (one pallas_call per chunk);
+            # forward on an aligned input returns the aligned layout, so
+            # calls chain exactly like the scan below
+            @jax.jit
+            def run(w):
+                return ns.forward(w, dt, steps=length)[0]
+        else:
+            @jax.jit
+            def run(w):
+                out, _ = jax.lax.scan(
+                    lambda c, _: (ns.solver(c, dt, ns), None), w, None,
+                    length=length,
+                )
+                return out
 
         out = run(what)
         _ = float(jnp.abs(out).max())
@@ -118,7 +129,8 @@ def main():
     ap.add_argument("--scaling", action="store_true",
                     help="fit per-call overhead vs per-step device time")
     ap.add_argument("--impl", default="fft",
-                    choices=["fft", "dft", "dft_aligned", "dft_galerkin"])
+                    choices=["fft", "dft", "dft_aligned", "dft_galerkin",
+                             "dft_aligned_fused"])
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "high", "default"])
     args = ap.parse_args()

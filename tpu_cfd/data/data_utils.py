@@ -115,14 +115,18 @@ def get_args_ns2d(desc: str = "NSE 2D data generation") -> argparse.ArgumentPars
                         "devices (per-sample fold_in seeding keeps results "
                         "device-count-invariant)")
     p.add_argument("--fft-impl", type=str, default=None,
-                   choices=["fft", "dft", "dft_aligned", "dft_galerkin"],
+                   choices=["fft", "dft", "dft_aligned", "dft_galerkin",
+                            "dft_aligned_fused"],
                    help="solver transform implementation; default picks "
                         "dense-DFT MXU matmuls restricted to the 2/3-rule "
                         "dealiasing block (dft_galerkin — exact for "
                         "dealiased states, smallest transform cost) and "
                         "jnp.fft for --double runs (fp64 solves on CPU, "
                         "where the FFT wins); dft_galerkin requires "
-                        "dealiasing on (no --no-dealias)")
+                        "dealiasing on (no --no-dealias); dft_aligned_fused "
+                        "steps whole rollout chunks inside one VMEM-resident "
+                        "Pallas kernel (ops/pallas/spectral_step.py; "
+                        "single-device only)")
     p.add_argument("--mxu-precision", type=str, default="high",
                    choices=["highest", "high", "default"],
                    help="MXU precision of the dense-DFT matmuls (dft/"

@@ -222,6 +222,15 @@ def run_generation(
                  "dt": dt, "visc": visc, "seed": args.seed,
                  "double": bool(args.double),
                  "dealias": not args.no_dealias}, f)
+    fused = fft_impl == "dft_aligned_fused"
+    if fused and getattr(args, "data_parallel", False):
+        # XLA's SPMD partitioner cannot split a pallas_call; sharding the
+        # fused rollout needs an explicit shard_map (see __graft_entry__ for
+        # the pattern) — not wired into this CLI yet
+        raise ValueError(
+            "--fft-impl dft_aligned_fused is single-device; "
+            "drop --data-parallel or pick dft_galerkin"
+        )
     ns2d = NavierStokes2DSpectral(
         viscosity=visc,
         grid=grid,
@@ -230,8 +239,9 @@ def run_generation(
         forcing_fn=forcing_fn,
         solver=solver or RK4CrankNicolsonStepper(),
         dtype=compute_dtype,
-        fft_impl=fft_impl,
+        fft_impl="dft_aligned" if fused else fft_impl,
         mxu_precision=mxu_precision,
+        fused=fused,
     )
     fields = (
         ("vorticity", "stream", "vort_t", "residual")

@@ -1,0 +1,278 @@
+"""Fused RK4-CN pseudo-spectral vorticity stepper — whole steps in VMEM.
+
+The production solver (solvers/equations.py NavierStokes2DSpectral with
+``fft_impl="dft_aligned"``) runs each Carpenter-Kennedy stage as a chain of
+XLA ops: ~30 DFT matmuls plus elementwise updates, every matmul output
+round-tripping through HBM. The chip is traffic-bound: at batch 128 / 256²
+the step measured ~11 ms against a ~4 ms MXU-compute bound (RESULTS.md).
+
+This kernel keeps the ENTIRE rollout chunk resident in VMEM: the (n, n/2)
+half-spectrum state, the four DFT matrices, the per-mode linear-solve
+constants, and every intermediate of every stage. HBM traffic per chunk
+drops to one read + one write of the state per sample, regardless of the
+number of steps fused. One grid program per sample; ``steps`` unrolls as a
+``fori_loop`` whose body is the exact 5-stage RK4-CN update of
+``RK4CrankNicolsonStepper`` (solvers/equations.py:177-190, reference hot
+loop torch_cfd/equations.py:413-438 — redesigned, not translated: the
+reference steps torch.fft tensors through autograd; this is a
+single-program VMEM-resident systolic formulation).
+
+Why the ALIGNED (n, n/2) layout and not the 2/3-rule Galerkin block: MXU
+tiles are 128×128, so a 170-row × 86-lane block pads to the same hardware
+cycles as the full 256×128 spectrum — the Galerkin FLOP saving is an
+illusion inside a matmul unit, while the aligned layout tiles perfectly.
+Dealiasing happens the aligned way: a brick-wall mask multiply per stage
+(one VPU pass in VMEM).
+
+Numerics: fp32 state; matmul precision selectable exactly like the XLA
+path's ``mxu_precision`` —
+  "highest": fp32 operands (Mosaic emulates fp32 matmuls on the bf16 MXU),
+  "high":    3-pass bf16 split (hi·hi + hi·lo + lo·hi), jax HIGH semantics;
+             transform matrices are pre-split once per chunk,
+  "default": single bf16 pass.
+Forcing is a constant spectral field added per stage (every ForcingFn in
+solvers/forcings.py is state-independent; the caller evaluates
+``explicit_terms(0)`` once, which is exactly the forcing term).
+
+No VJP is defined: the fused path is for data generation and benchmarking
+(the differentiable fine-tune path keeps the XLA solver). Differentiating
+through it raises.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_cfd.ops import dft2d
+
+Array = jax.Array
+
+# Carpenter-Kennedy low-storage RK4 tables (solvers/equations.py:142-153)
+_ALPHAS = (0.0, 0.1496590219993, 0.3704009573644, 0.6222557631345,
+           0.9582821306748, 1.0)
+_BETAS = (0.0, -0.4178904745, -1.192151694643, -1.697784692471,
+          -1.514183444257)
+_GAMMAS = (0.1496590219993, 0.3792103129999, 0.8229550293869,
+           0.6994504559488, 0.1530572479681)
+
+
+@functools.lru_cache(maxsize=None)
+def _host_constants(n: int, step: Tuple[float, float], viscosity: float,
+                    drag: float, dt: float):
+    """All per-mode constants, pure host numpy (CLAUDE.md invariant)."""
+    m = n // 2
+    fx = np.fft.fftfreq(n, d=step[0]).astype(np.float64)
+    fy = np.fft.fftfreq(n, d=step[1])[:m].astype(np.float64)
+    kx = np.broadcast_to(fx[:, None], (n, m)).copy()
+    ky = np.broadcast_to(fy[None, :], (n, m)).copy()
+    lap = -4 * np.pi**2 * (kx**2 + ky**2)
+    lap_g = lap.copy()
+    lap_g[0, 0] = 1.0
+    lin = viscosity * lap - drag
+    # 2/3-rule brick-wall mask on the aligned (Nyquist-dropped) spectrum,
+    # mirroring ops/spectral.brick_wall_filter_2d
+    kx_ord = np.round(fx * n * step[0]).astype(int)
+    kmax_x = int(2 / 3 * n) // 2
+    keep_x = (-kmax_x <= kx_ord) & (kx_ord < kmax_x)
+    keep_y = np.arange(m) < int(2 / 3 * (n // 2 + 1))
+    filt = np.outer(keep_x, keep_y)
+    mus = tuple(0.5 * dt * (_ALPHAS[k + 1] - _ALPHAS[k]) for k in range(5))
+    dens = np.stack([1.0 / (1.0 - mu * lin) for mu in mus])
+    f32 = np.float32
+    return {
+        "tkx": (2 * np.pi * kx).astype(f32),
+        "tky": (2 * np.pi * ky).astype(f32),
+        "ilap": (1.0 / lap_g).astype(f32),
+        "filt": filt.astype(f32),
+        "lin": lin.astype(f32),
+        "dens": dens.astype(f32),
+        "mus": mus,
+    }
+
+
+def _make_kernel(steps: int, mus, precision: str):
+    highest = precision == "highest"
+    three = precision == "high"
+
+    def split(a):
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def prep(a):
+        if highest:
+            return (a,)
+        if three:
+            return split(a)
+        return (a.astype(jnp.bfloat16),)
+
+    def mm(pa, pb):
+        o = jnp.dot(pa[0], pb[0], preferred_element_type=jnp.float32)
+        if three:
+            o = o + jnp.dot(pa[0], pb[1], preferred_element_type=jnp.float32)
+            o = o + jnp.dot(pa[1], pb[0], preferred_element_type=jnp.float32)
+        return o
+
+    def kernel(dt_gammas, w_re_ref, w_im_ref,
+               gf_re_ref, gf_im_ref, il_re_ref, il_im_ref,
+               fl_re_ref, fl_im_ref, ff_re_ref, ff_im_ref,
+               tkx_ref, tky_ref, ilap_ref, filt_ref, lin_ref, dens_ref,
+               f_re_ref, f_im_ref, o_re_ref, o_im_ref):
+        # transform matrices prepped ONCE per chunk (loop-invariant)
+        p_gf_re, p_gf_im = prep(gf_re_ref[:]), prep(gf_im_ref[:])
+        p_il_re, p_il_im = prep(il_re_ref[:]), prep(il_im_ref[:])
+        p_fl_re, p_fl_im = prep(fl_re_ref[:]), prep(fl_im_ref[:])
+        p_ff_re, p_ff_im = prep(ff_re_ref[:]), prep(ff_im_ref[:])
+        tkx, tky = tkx_ref[:], tky_ref[:]
+        ilap, filt, lin = ilap_ref[:], filt_ref[:], lin_ref[:]
+        f_re, f_im = f_re_ref[:], f_im_ref[:]
+
+        def inv2(xre, xim):
+            """(n, m) spectrum -> (n, n) physical (irfft2 as matmuls)."""
+            pxre, pxim = prep(xre), prep(xim)
+            are = mm(p_gf_re, pxre) - mm(p_gf_im, pxim)
+            aim = mm(p_gf_re, pxim) + mm(p_gf_im, pxre)
+            return mm(prep(are), p_il_re) + mm(prep(aim), p_il_im)
+
+        def explicit(wre, wim):
+            """Dealiased advection + forcing (equations.py _explicit_terms)."""
+            pre, pim = -wre * ilap, -wim * ilap          # stream function
+            vx = inv2(-tky * pim, tky * pre)             # u = 2πi ky ψ
+            vy = inv2(tkx * pim, -tkx * pre)             # v = -2πi kx ψ
+            gx = inv2(-tkx * wim, tkx * wre)             # ∂ω/∂x
+            gy = inv2(-tky * wim, tky * wre)             # ∂ω/∂y
+            adv = -(gx * vx + gy * vy)
+            padv = prep(adv)
+            t_re, t_im = mm(padv, p_fl_re), mm(padv, p_fl_im)
+            pt_re, pt_im = prep(t_re), prep(t_im)
+            z_re = mm(p_ff_re, pt_re) - mm(p_ff_im, pt_im)
+            z_im = mm(p_ff_re, pt_im) + mm(p_ff_im, pt_re)
+            return z_re * filt + f_re, z_im * filt + f_im
+
+        def one_step(_, carry):
+            wre, wim = carry
+            hre = jnp.zeros_like(wre)
+            him = jnp.zeros_like(wim)
+            for k in range(5):
+                e_re, e_im = explicit(wre, wim)
+                hre = e_re + _BETAS[k] * hre
+                him = e_im + _BETAS[k] * him
+                den = dens_ref[k]
+                mu = mus[k]
+                wre = (wre + dt_gammas[k] * hre + mu * (lin * wre)) * den
+                wim = (wim + dt_gammas[k] * him + mu * (lin * wim)) * den
+            return wre, wim
+
+        wre, wim = jax.lax.fori_loop(
+            0, steps, one_step, (w_re_ref[0], w_im_ref[0])
+        )
+        o_re_ref[0] = wre
+        o_im_ref[0] = wim
+
+    return kernel
+
+
+def fused_rollout_aligned(
+    w_hat: Array,
+    *,
+    grid,
+    viscosity: float,
+    drag: float,
+    dt: float,
+    steps: int,
+    forcing_hat: Optional[Array] = None,
+    precision: str = "high",
+    interpret: Optional[bool] = None,
+) -> Array:
+    """March an aligned ``(..., n, n//2)`` complex64 spectrum ``steps`` steps.
+
+    Bit-for-bit the same update rule as ``NavierStokes2DSpectral`` with
+    ``fft_impl="dft_aligned"`` and the matching ``mxu_precision`` (up to
+    matmul summation order). Forward-only (no VJP).
+    """
+    n = grid.shape[-1]
+    m = n // 2
+    if w_hat.shape[-2:] != (n, m):
+        raise ValueError(
+            f"expected aligned spectrum (..., {n}, {m}), got {w_hat.shape}"
+        )
+    if w_hat.dtype != jnp.complex64:
+        raise ValueError("fused rollout is fp32-only (complex64 state)")
+    if precision not in ("highest", "high", "default"):
+        raise ValueError(f"unknown precision {precision!r}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    lead = w_hat.shape[:-2]
+    b = math.prod(lead) if lead else 1
+    w = w_hat.reshape((b, n, m))
+
+    consts = _host_constants(n, tuple(float(s) for s in grid.step),
+                             float(viscosity), float(drag), float(dt))
+    mats = dft2d._mats(n, m, "float32")
+    dt_gammas = tuple(g * dt for g in _GAMMAS)
+    kernel = functools.partial(
+        _make_kernel(steps, consts["mus"], precision), dt_gammas
+    )
+
+    if forcing_hat is None:
+        f_re = jnp.zeros((n, m), jnp.float32)
+        f_im = jnp.zeros((n, m), jnp.float32)
+    else:
+        f_re = jnp.real(forcing_hat).astype(jnp.float32)
+        f_im = jnp.imag(forcing_hat).astype(jnp.float32)
+
+    sample = pl.BlockSpec((1, n, m), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(  # noqa: E731 — local spec factory
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+
+    # ~30 real matmuls of 2·n·n·m flops per stage, 5 stages, per step
+    flops_per_sample = 30 * (2 * n * n * m) * 5 * steps
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            sample, sample,
+            const2((n, n)), const2((n, n)),      # inv_first re/im
+            const2((m, n)), const2((m, n)),      # inv_last re/im
+            const2((n, m)), const2((n, m)),      # fwd_last re/im
+            const2((n, n)), const2((n, n)),      # fwd_first re/im
+            const2((n, m)), const2((n, m)),      # 2πkx, 2πky
+            const2((n, m)), const2((n, m)), const2((n, m)),  # ilap/filt/lin
+            const2((5, n, m)),                   # stage denominators
+            const2((n, m)), const2((n, m)),      # forcing re/im
+        ],
+        out_specs=(sample, sample),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, m), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=b * flops_per_sample,
+            bytes_accessed=b * (4 * n * m * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.real(w), jnp.imag(w),
+        jnp.asarray(mats["inv_first_re"]), jnp.asarray(mats["inv_first_im"]),
+        jnp.asarray(mats["inv_last_re"]), jnp.asarray(mats["inv_last_im"]),
+        jnp.asarray(mats["fwd_last_re"]), jnp.asarray(mats["fwd_last_im"]),
+        jnp.asarray(mats["fwd_first_re"]), jnp.asarray(mats["fwd_first_im"]),
+        jnp.asarray(consts["tkx"]), jnp.asarray(consts["tky"]),
+        jnp.asarray(consts["ilap"]), jnp.asarray(consts["filt"]),
+        jnp.asarray(consts["lin"]), jnp.asarray(consts["dens"]),
+        f_re, f_im,
+    )
+    out = jax.lax.complex(out_re, out_im)
+    return out.reshape(lead + (n, m)) if lead else out[0]

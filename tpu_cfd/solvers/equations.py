@@ -237,6 +237,13 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
     fft_impl: str = "fft"
     # MXU precision for the dft paths ("highest" = full fp32)
     mxu_precision: str = "highest"
+    # Run ``forward`` rollouts through the fused Pallas stepper
+    # (ops/pallas/spectral_step.py): the whole multi-step chunk stays
+    # VMEM-resident — one HBM read + write of the state per chunk instead of
+    # per-matmul round trips. Requires fft_impl="dft_aligned", fp32 state,
+    # and the default RK4CrankNicolson stepper; forward-only (data
+    # generation / benchmarking — differentiating through it raises).
+    fused: bool = False
 
     def _irfft2(self, x: Array) -> Array:
         if self.fft_impl == "dft_galerkin":
@@ -296,6 +303,25 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
     def __post_init__(self):
         if self.solver is None:
             self.solver = RK4CrankNicolsonStepper()
+        if self.fused:
+            if self.fft_impl != "dft_aligned":
+                raise ValueError(
+                    "fused=True requires fft_impl='dft_aligned' (the fused "
+                    "kernel bakes the lane-aligned spectrum layout)"
+                )
+            if not self.smooth:
+                raise ValueError("fused=True requires smooth=True")
+            if jnp.dtype(self.dtype) != jnp.float32:
+                raise ValueError("fused=True is fp32-only")
+            if not (
+                isinstance(self.solver, RK4CrankNicolsonStepper)
+                and self.solver.low_storage
+                and self.solver.order == 4
+            ):
+                raise ValueError(
+                    "fused=True implements the low-storage RK4-CN stepper "
+                    "only; pass solver=None"
+                )
         n = self.grid.shape[-1]
         self._m_full = n // 2 + 1
         self._rows = None
@@ -421,7 +447,28 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
         shape_in = vort_hat.shape[-2:]
         vort_hat = self._align(vort_hat)  # scan carries the aligned layout
         vort_old = vort_hat
-        if steps == 1:
+        if self.fused:
+            from tpu_cfd.ops.pallas import spectral_step
+
+            f_hat = None
+            if self.forcing_fn is not None:
+                # every ForcingFn is state-independent, so the forcing term
+                # is exactly the explicit terms of the zero state — evaluated
+                # once per chunk, folded into the kernel as a constant
+                f_hat = self._explicit_terms(
+                    jnp.zeros(vort_hat.shape[-2:], vort_hat.dtype)
+                )
+            vort_hat = spectral_step.fused_rollout_aligned(
+                vort_hat,
+                grid=self.grid,
+                viscosity=self.viscosity,
+                drag=self.drag,
+                dt=dt,
+                steps=steps,
+                forcing_hat=f_hat,
+                precision=self.mxu_precision,
+            )
+        elif steps == 1:
             vort_hat = self.solver(vort_hat, dt, self)
         else:
             def body(w, _):
