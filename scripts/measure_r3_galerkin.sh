@@ -12,8 +12,8 @@ timeout 300 python -c "
 import jax, jax.numpy as jnp
 print('probe:', jax.jit(lambda a: (a@a).sum())(jnp.ones((128,128))))"
 
-echo "=== [2/4] solver scaling: galerkin vs aligned (b8, b128) ==="
-for impl in dft_aligned dft_galerkin; do
+echo "=== [2/4] solver scaling: galerkin vs aligned vs fused (b8, b128) ==="
+for impl in dft_aligned dft_galerkin dft_aligned_fused; do
   timeout 900 python scripts/profile_solver.py --scaling --impl "$impl" \
     --precision high --batches 8,128 | tee -a /tmp/r3_galerkin_scaling.jsonl
 done
