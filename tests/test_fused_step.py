@@ -89,6 +89,18 @@ class TestFusedRolloutParity:
         assert w_fus.shape == what0.shape
         assert bool(jnp.all(w_fus[..., -1] == 0))  # Nyquist column dropped
 
+    @pytest.mark.slow
+    def test_fused_256_production_parity(self):
+        """Production resolution (256², the data-gen config): fused ==
+        XLA aligned solver at fp32 roundoff over a 10-step rollout."""
+        n = 256
+        grid = grids.Grid((n, n), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        w0 = ic.vorticity_field(jax.random.PRNGKey(0), grid, 4).data
+        what = jnp.fft.rfft2(w0)
+        w_ref, _ = jax.jit(lambda w: _mk(grid, False).forward(w, DT, 10))(what)
+        w_fus, _ = jax.jit(lambda w: _mk(grid, True).forward(w, DT, 10))(what)
+        assert _rel(w_fus, w_ref) < 5e-6
+
     def test_constructor_validation(self, state):
         grid, _ = state
         with pytest.raises(ValueError, match="dft_aligned"):
