@@ -121,16 +121,20 @@ def _make_kernel(steps: int, mus, precision: str):
             o = o + jnp.dot(pa[1], pb[0], preferred_element_type=jnp.float32)
         return o
 
-    def kernel(dt_gammas, w_re_ref, w_im_ref,
-               gf_re_ref, gf_im_ref, il_re_ref, il_im_ref,
-               fl_re_ref, fl_im_ref, ff_re_ref, ff_im_ref,
-               tkx_ref, tky_ref, ilap_ref, filt_ref, lin_ref, dens_ref,
-               f_re_ref, f_im_ref, o_re_ref, o_im_ref):
-        # transform matrices prepped ONCE per chunk (loop-invariant)
-        p_gf_re, p_gf_im = prep(gf_re_ref[:]), prep(gf_im_ref[:])
-        p_il_re, p_il_im = prep(il_re_ref[:]), prep(il_im_ref[:])
-        p_fl_re, p_fl_im = prep(fl_re_ref[:]), prep(fl_im_ref[:])
-        p_ff_re, p_ff_im = prep(ff_re_ref[:]), prep(ff_im_ref[:])
+    # transform matrices arrive PRE-SPLIT from the host (bf16 hi/lo pairs
+    # for "high", single bf16 for "default", fp32 for "highest"): the split
+    # would otherwise re-run on the VPU in every grid program (per sample)
+    per_mat = 2 if three else 1
+
+    def kernel(dt_gammas, w_re_ref, w_im_ref, *rest):
+        mats = rest[: 8 * per_mat]
+        (tkx_ref, tky_ref, ilap_ref, filt_ref, lin_ref, dens_ref,
+         f_re_ref, f_im_ref, o_re_ref, o_im_ref) = rest[8 * per_mat:]
+        (p_gf_re, p_gf_im, p_il_re, p_il_im,
+         p_fl_re, p_fl_im, p_ff_re, p_ff_im) = (
+            tuple(r[:] for r in mats[i * per_mat: (i + 1) * per_mat])
+            for i in range(8)
+        )
         tkx, tky = tkx_ref[:], tky_ref[:]
         ilap, filt, lin = ilap_ref[:], filt_ref[:], lin_ref[:]
         f_re, f_im = f_re_ref[:], f_im_ref[:]
@@ -223,6 +227,29 @@ def fused_rollout_aligned(
         _make_kernel(steps, consts["mus"], precision), dt_gammas
     )
 
+    # transform matrices, host-side pre-split to the kernel's precision
+    import ml_dtypes
+
+    bf16 = ml_dtypes.bfloat16
+
+    def _mat_args(mname):
+        a = mats[mname]
+        if precision == "highest":
+            return [jnp.asarray(a)]
+        hi = a.astype(bf16)
+        if precision == "default":
+            return [jnp.asarray(hi)]
+        lo = (a - hi.astype(np.float32)).astype(bf16)
+        return [jnp.asarray(hi), jnp.asarray(lo)]
+
+    mat_inputs = [
+        arr
+        for name in ("inv_first_re", "inv_first_im", "inv_last_re",
+                     "inv_last_im", "fwd_last_re", "fwd_last_im",
+                     "fwd_first_re", "fwd_first_im")
+        for arr in _mat_args(name)
+    ]
+
     if forcing_hat is None:
         f_re = jnp.zeros((n, m), jnp.float32)
         f_im = jnp.zeros((n, m), jnp.float32)
@@ -241,12 +268,9 @@ def fused_rollout_aligned(
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[
-            sample, sample,
-            const2((n, n)), const2((n, n)),      # inv_first re/im
-            const2((m, n)), const2((m, n)),      # inv_last re/im
-            const2((n, m)), const2((n, m)),      # fwd_last re/im
-            const2((n, n)), const2((n, n)),      # fwd_first re/im
+        in_specs=[sample, sample]
+        + [const2(a.shape) for a in mat_inputs]
+        + [
             const2((n, m)), const2((n, m)),      # 2πkx, 2πky
             const2((n, m)), const2((n, m)), const2((n, m)),  # ilap/filt/lin
             const2((5, n, m)),                   # stage denominators
@@ -264,11 +288,7 @@ def fused_rollout_aligned(
         ),
         interpret=interpret,
     )(
-        jnp.real(w), jnp.imag(w),
-        jnp.asarray(mats["inv_first_re"]), jnp.asarray(mats["inv_first_im"]),
-        jnp.asarray(mats["inv_last_re"]), jnp.asarray(mats["inv_last_im"]),
-        jnp.asarray(mats["fwd_last_re"]), jnp.asarray(mats["fwd_last_im"]),
-        jnp.asarray(mats["fwd_first_re"]), jnp.asarray(mats["fwd_first_im"]),
+        jnp.real(w), jnp.imag(w), *mat_inputs,
         jnp.asarray(consts["tkx"]), jnp.asarray(consts["tky"]),
         jnp.asarray(consts["ilap"]), jnp.asarray(consts["filt"]),
         jnp.asarray(consts["lin"]), jnp.asarray(consts["dens"]),
