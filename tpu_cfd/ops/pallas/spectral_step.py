@@ -139,20 +139,40 @@ def _make_kernel(steps: int, mus, precision: str):
         ilap, filt, lin = ilap_ref[:], filt_ref[:], lin_ref[:]
         f_re, f_im = f_re_ref[:], f_im_ref[:]
 
-        def inv2(xre, xim):
-            """(n, m) spectrum -> (n, n) physical (irfft2 as matmuls)."""
+        def inv2x4(fields):
+            """Four (n, m) spectra -> four (n, n) physical fields, batched.
+
+            The first-axis DFT contracts rows, so the 4 fields column-stack
+            into ONE (n, 4m) right operand; the last-axis DFT contracts the
+            spectrum axis, so the stage-1 outputs row-stack into ONE (4n, m)
+            left operand — same FLOPs as 4 separate irfft2s in 6 wide
+            matmuls instead of 24 narrow ones (VMEM-local relayouts only).
+            """
+            m = fields[0][0].shape[-1]
+            xre = jnp.concatenate([f[0] for f in fields], axis=1)
+            xim = jnp.concatenate([f[1] for f in fields], axis=1)
             pxre, pxim = prep(xre), prep(xim)
-            are = mm(p_gf_re, pxre) - mm(p_gf_im, pxim)
+            are = mm(p_gf_re, pxre) - mm(p_gf_im, pxim)     # (n, 4m)
             aim = mm(p_gf_re, pxim) + mm(p_gf_im, pxre)
-            return mm(prep(are), p_il_re) + mm(prep(aim), p_il_im)
+            are4 = jnp.concatenate(
+                [are[:, i * m:(i + 1) * m] for i in range(4)], axis=0
+            )
+            aim4 = jnp.concatenate(
+                [aim[:, i * m:(i + 1) * m] for i in range(4)], axis=0
+            )
+            phys = mm(prep(are4), p_il_re) + mm(prep(aim4), p_il_im)  # (4n, n)
+            npts = phys.shape[-1]
+            return [phys[i * npts:(i + 1) * npts] for i in range(4)]
 
         def explicit(wre, wim):
             """Dealiased advection + forcing (equations.py _explicit_terms)."""
             pre, pim = -wre * ilap, -wim * ilap          # stream function
-            vx = inv2(-tky * pim, tky * pre)             # u = 2πi ky ψ
-            vy = inv2(tkx * pim, -tkx * pre)             # v = -2πi kx ψ
-            gx = inv2(-tkx * wim, tkx * wre)             # ∂ω/∂x
-            gy = inv2(-tky * wim, tky * wre)             # ∂ω/∂y
+            vx, vy, gx, gy = inv2x4([
+                (-tky * pim, tky * pre),                 # u = 2πi ky ψ
+                (tkx * pim, -tkx * pre),                 # v = -2πi kx ψ
+                (-tkx * wim, tkx * wre),                 # ∂ω/∂x
+                (-tky * wim, tky * wre),                 # ∂ω/∂y
+            ])
             adv = -(gx * vx + gy * vy)
             padv = prep(adv)
             t_re, t_im = mm(padv, p_fl_re), mm(padv, p_fl_im)
