@@ -54,9 +54,11 @@ def spectrum(w, grid):
 
 
 def rollout(impl, precision, what, grid, steps, dt=1e-3):
+    fused = impl == "dft_aligned_fused"
     ns = equations.NavierStokes2DSpectral(
         viscosity=1e-3, grid=grid, drag=0.1,
-        fft_impl=impl, mxu_precision=precision,
+        fft_impl="dft_aligned" if fused else impl,
+        mxu_precision=precision, fused=fused,
     )
     fwd = jax.jit(lambda w: ns.forward(w, dt, steps=steps)[0])
     out = fwd(what)
@@ -90,6 +92,8 @@ def main():
         ("dft_aligned", "default"),
         ("dft_galerkin", "highest"),
         ("dft_galerkin", "high"),
+        ("dft_aligned_fused", "highest"),
+        ("dft_aligned_fused", "high"),
     ]
     ref = {}
     for steps in (1, 100, args.spectrum_steps):
