@@ -233,7 +233,9 @@ def fused_rollout_aligned(
     if precision not in ("highest", "high", "default"):
         raise ValueError(f"unknown precision {precision!r}")
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        # the container's TPU binds through the experimental "axon" platform
+        # (CLAUDE.md) — both names are real Mosaic-compiling TPU backends
+        interpret = jax.default_backend() not in ("tpu", "axon")
 
     lead = w_hat.shape[:-2]
     b = math.prod(lead) if lead else 1
