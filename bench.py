@@ -232,10 +232,23 @@ def main():
     solver = {}
     for impl in ("fft", "dft", "dft_aligned", "dft_galerkin",
                  "dft_aligned_fused"):
-        sps, fl, hb = bench_solver(impl=impl, trace_dir=trace_dir, **sol_kw)
-        solver[impl] = {"b8_steps_per_s": sps, "flops": fl, "hbm": hb}
-        dg, _, _ = bench_solver(impl=impl, **sol_b128)
-        solver[impl]["b128_steps_per_s"] = dg
+        # one experimental impl must not sink the whole bench (the fused
+        # Pallas path is the first Mosaic kernel this backend compiles —
+        # if the axon remote-compile rejects it, record the failure and
+        # keep the measured rows)
+        try:
+            sps, fl, hb = bench_solver(impl=impl, trace_dir=trace_dir,
+                                       **sol_kw)
+            solver[impl] = {"b8_steps_per_s": sps, "flops": fl, "hbm": hb}
+            dg, _, _ = bench_solver(impl=impl, **sol_b128)
+            solver[impl]["b128_steps_per_s"] = dg
+        except Exception as e:  # noqa: BLE001 — survive any backend failure
+            import sys
+
+            print(f"bench: impl {impl} failed: {e!r}", file=sys.stderr)
+            solver[impl] = {"b8_steps_per_s": 0.0, "flops": 0.0, "hbm": 0.0,
+                            "b128_steps_per_s": 0.0,
+                            "error": repr(e)[:200]}
 
     headline_impl = max(solver, key=lambda k: solver[k]["b8_steps_per_s"])
     datagen_impl = max(solver, key=lambda k: solver[k]["b128_steps_per_s"])
@@ -259,6 +272,9 @@ def main():
             },
             "solver_b128_steps_per_s": {
                 k: round(v["b128_steps_per_s"], 2) for k, v in solver.items()
+            },
+            "solver_impl_errors": {
+                k: v["error"] for k, v in solver.items() if "error" in v
             },
             "datagen_b128_impl": datagen_impl,
             "datagen_b128_samples_x_steps_per_s": round(dgen * 128, 0),
