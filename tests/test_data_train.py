@@ -449,6 +449,98 @@ class TestTrainingPipeline:
         # epoch average must still trend down
         assert epoch_means[-1] < epoch_means[0], epoch_means
 
+    def test_scan_epoch_matches_host_loop(self):
+        """The device-resident scan-per-epoch path produces the same params,
+        losses, and val metric as the host-driven batch loop fed the same
+        rng seed — one dispatch per epoch is an execution-strategy change,
+        not a semantics change."""
+        from tpu_cfd.models import SFNO
+        from tpu_cfd.train import losses, pipeline
+
+        n, T, N, steps, out_steps, bsz = 12, 14, 6, 4, 4, 2
+        rng0 = np.random.default_rng(3)
+        data = {"vorticity": rng0.standard_normal((N, T, n, n)).astype(np.float32)}
+        ds = SpatioTemporalDataset(dict(data), n_samples=N, steps=steps,
+                                   out_steps=out_steps, fields=["vorticity"])
+        model = SFNO(modes_x=3, modes_y=3, modes_t=2, width=4,
+                     latent_steps=4, num_spectral_layers=2,
+                     output_steps=out_steps)
+        loss_fn = losses.SobolevLoss(n_grid=n, norm_order=0, relative=True)
+        opt = pipeline.get_optimizer("Adam", 1e-3)
+
+        inp0, _ = ds.sample(np.arange(2), np.random.default_rng(0))
+        params0 = model.init(jax.random.PRNGKey(0),
+                             jnp.asarray(inp0["vorticity"]))
+
+        # host path
+        params_h = params0
+        opt_h = opt.init(params_h)
+        step = pipeline.make_train_step(model, loss_fn, opt)
+        rng_h = np.random.default_rng(7)
+        host_losses = []
+        for _ in range(2):
+            for inp, out in ds.batches(bsz, rng_h):
+                params_h, opt_h, l = step(
+                    params_h, opt_h,
+                    jnp.asarray(inp["vorticity"]),
+                    jnp.asarray(out["vorticity"]),
+                )
+                host_losses.append(float(l))
+
+        # device-resident path, same seed
+        run_epoch = pipeline.make_scan_epoch(
+            model, loss_fn, opt, jnp.asarray(ds.data["vorticity"]),
+            steps, out_steps,
+        )
+        params_d = params0
+        opt_d = opt.init(params_d)
+        rng_d = np.random.default_rng(7)
+        dev_losses = []
+        for _ in range(2):
+            idx, starts = ds.epoch_indices(bsz, rng_d)
+            params_d, opt_d, ls = run_epoch(
+                params_d, opt_d, jnp.asarray(idx), jnp.asarray(starts)
+            )
+            dev_losses.extend(np.asarray(ls).tolist())
+
+        np.testing.assert_allclose(dev_losses, host_losses, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(params_h),
+                        jax.tree_util.tree_leaves(params_d)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+        # eval: scan path == eval_epoch fed the identical (idx, starts)
+        eval_step = pipeline.make_eval_step(model, loss_fn, out_steps=out_steps)
+        val_host = pipeline.eval_epoch(eval_step, params_h, ds, bsz)
+        run_eval = pipeline.make_scan_eval(
+            model, loss_fn, jnp.asarray(ds.data["vorticity"]),
+            steps, out_steps, model_out_steps=out_steps,
+        )
+        vidx, vstarts = ds.epoch_indices(bsz, np.random.default_rng(0),
+                                         shuffle=False)
+        val_dev = float(run_eval(params_d, jnp.asarray(vidx),
+                                 jnp.asarray(vstarts)))
+        np.testing.assert_allclose(val_dev, val_host, rtol=1e-5)
+
+    def test_epoch_indices_stream_matches_lazy_draw(self):
+        """epoch_indices draws the SAME rng stream as a lazy per-batch loop
+        (permutation, then one integers() call per batch in order) — the
+        contract that keeps host and device paths bitwise-identical."""
+        n, T, N, steps, out_steps, bsz = 8, 20, 7, 4, 4, 2
+        data = {"vorticity": np.zeros((N, T, n, n), np.float32)}
+        ds = SpatioTemporalDataset(dict(data), n_samples=N, steps=steps,
+                                   out_steps=out_steps, fields=["vorticity"])
+        idx, starts = ds.epoch_indices(bsz, np.random.default_rng(11))
+
+        rng = np.random.default_rng(11)
+        order = rng.permutation(N)
+        window = steps + out_steps
+        for b, (chunk, s) in enumerate(zip(idx, starts)):
+            ref_chunk = order[b * bsz:(b + 1) * bsz]
+            ref_s = rng.integers(0, T - (window + 1), size=bsz)
+            np.testing.assert_array_equal(chunk, ref_chunk)
+            np.testing.assert_array_equal(s, ref_s)
+
     def test_checkpoint_roundtrip(self, tmp_path):
         from tpu_cfd.models import SFNO
         from tpu_cfd.train import pipeline

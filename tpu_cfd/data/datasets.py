@@ -206,24 +206,37 @@ class SpatioTemporalDataset:
     def __len__(self) -> int:
         return self.n_samples
 
-    def sample(
+    def draw_starts(
         self, idx: np.ndarray, rng: Optional[np.random.Generator] = None
-    ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
-        """Slices input/output windows for a batch of sample indices.
-
-        Window starts are drawn independently PER SAMPLE (the reference draws
-        one per __getitem__, datasets.py:431-453) — per-batch windows reduce
-        the effective data diversity and slow convergence measurably.
-        """
+    ) -> np.ndarray:
+        """Window starts for a batch — one independent draw PER SAMPLE (the
+        reference draws one per __getitem__, datasets.py:431-453; per-batch
+        windows reduce effective data diversity and slow convergence)."""
         idx = np.atleast_1d(np.asarray(idx))
         window = self.out_steps + self.steps
         if self.T_start is None:
             rng = np.random.default_rng() if rng is None else rng
-            starts = rng.integers(
-                0, self.total_steps - (window + 1), size=len(idx)
-            )
-        else:
-            starts = np.full(len(idx), self.T_start, dtype=np.int64)
+            return rng.integers(0, self.total_steps - (window + 1), size=len(idx))
+        return np.full(len(idx), self.T_start, dtype=np.int64)
+
+    def sample(
+        self, idx: np.ndarray, rng: Optional[np.random.Generator] = None
+    ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+        """Slices input/output windows for a batch of sample indices."""
+        idx = np.atleast_1d(np.asarray(idx))
+        return self.sample_at(idx, self.draw_starts(idx, rng))
+
+    def sample_at(
+        self, idx: np.ndarray, starts: np.ndarray
+    ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+        """Deterministic window slicing at explicit per-sample ``starts``.
+
+        The device-resident training path (pipeline.make_scan_epoch) gathers
+        the same windows on device from the same (idx, starts) — this is the
+        host reference for that equivalence.
+        """
+        idx = np.atleast_1d(np.asarray(idx))
+        starts = np.atleast_1d(np.asarray(starts))
         inp_t = starts[:, None] + np.arange(self.steps)  # (b, steps)
         out_t = starts[:, None] + self.steps + np.arange(self.out_steps)
 
@@ -245,6 +258,30 @@ class SpatioTemporalDataset:
         out["time_steps"] = out_t
         return inp, out
 
+    def epoch_indices(
+        self,
+        batch_size: int,
+        rng: np.random.Generator,
+        shuffle: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """One epoch's (idx, starts), each ``(n_batches, batch_size)`` int32.
+
+        Draws from ``rng`` in exactly the order ``batches()`` does
+        (permutation first, then one ``integers`` call per batch), so a
+        same-seeded host loop and the device-resident scan path
+        (pipeline.make_scan_epoch) see bitwise-identical batches.
+        """
+        order = (
+            rng.permutation(self.n_samples) if shuffle else np.arange(self.n_samples)
+        )
+        idx, starts = [], []
+        for i in range(0, self.n_samples - batch_size + 1, batch_size):
+            chunk = order[i: i + batch_size]
+            idx.append(chunk)
+            starts.append(self.draw_starts(chunk, rng))
+        return (np.asarray(idx, dtype=np.int32),
+                np.asarray(starts, dtype=np.int32))
+
     def batches(
         self,
         batch_size: int,
@@ -252,11 +289,9 @@ class SpatioTemporalDataset:
         shuffle: bool = True,
     ):
         """Yields (input, output) dict batches for one epoch."""
-        order = (
-            rng.permutation(self.n_samples) if shuffle else np.arange(self.n_samples)
-        )
-        for i in range(0, self.n_samples - batch_size + 1, batch_size):
-            yield self.sample(order[i: i + batch_size], rng)
+        idx, starts = self.epoch_indices(batch_size, rng, shuffle)
+        for chunk, s in zip(idx, starts):
+            yield self.sample_at(chunk, s)
 
 
 class SpatioTemporalDatasetFixedTime(SpatioTemporalDataset):

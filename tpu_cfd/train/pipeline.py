@@ -130,6 +130,109 @@ def make_train_step(
     return jax.jit(step)
 
 
+def _window_gather(data, steps: int, out_steps: int):
+    """Device-side counterpart of ``SpatioTemporalDataset.sample_at``.
+
+    ``data``: (N, n, n, T) device array. Returns a gather(idx, starts) that
+    slices per-sample input/target windows on device — the per-batch
+    host-numpy slicing + H2D transfer of the host path becomes one gather +
+    dynamic-slice inside the compiled program.
+    """
+    window = steps + out_steps
+
+    def gather(idx, starts):
+        batch = jnp.take(data, idx, axis=0)  # (b, n, n, T)
+        win = jax.vmap(
+            lambda a, s: jax.lax.dynamic_slice_in_dim(a, s, window, axis=-1)
+        )(batch, starts)
+        return win[..., :steps], win[..., steps:]
+
+    return gather
+
+
+def make_scan_epoch(
+    model,
+    loss_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    data,
+    steps: int,
+    out_steps: int,
+    normalizer=None,
+):
+    """One WHOLE training epoch as a single jitted ``lax.scan``.
+
+    The host training loop (one ``train_step`` dispatch per batch) spends
+    most of its wall clock outside the device: numpy window slicing, H2D of
+    every batch through the device tunnel, and a blocking ``float(loss)``
+    sync per step. With the dataset resident on device, an epoch becomes ONE
+    dispatch fed only the epoch's (n_batches, batch) int32 index arrays; the
+    per-step losses come back as one array. No reference counterpart (the
+    torch loop is host-driven by construction, reference pipeline.py:38-63);
+    batch semantics are bitwise-identical to the host path via
+    ``SpatioTemporalDataset.epoch_indices`` (tests/test_data_train.py).
+
+    Returns ``run_epoch(params, opt_state, idx, starts) ->
+    (params, opt_state, losses)``; params/opt_state buffers are donated.
+    """
+    gather = _window_gather(data, steps, out_steps)
+
+    def one_step(carry, xs):
+        params, opt_state = carry
+        idx, starts = xs
+        inp, target = gather(idx, starts)
+
+        def loss(p):
+            out = model.apply(p, inp)
+            if normalizer is not None:
+                out = normalizer.inverse_transform(out, align_shapes=False)
+                target_ = normalizer.inverse_transform(
+                    target, align_shapes=False)
+            else:
+                target_ = target
+            return loss_fn(out, target_)
+
+        loss_val, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss_val
+
+    def run_epoch(params, opt_state, idx, starts):
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), (idx, starts)
+        )
+        return params, opt_state, losses
+
+    return jax.jit(run_epoch, donate_argnums=(0, 1))
+
+
+def make_scan_eval(
+    model,
+    metric_fn: Callable,
+    data,
+    steps: int,
+    out_steps: int,
+    model_out_steps: Optional[int] = None,
+):
+    """Whole-val-set eval as one jitted scan over device-resident data.
+
+    Returns ``run_eval(params, idx, starts) -> mean metric`` matching
+    ``eval_epoch`` fed the same (idx, starts).
+    """
+    gather = _window_gather(data, steps, out_steps)
+
+    def run_eval(params, idx, starts):
+        def one(_, xs):
+            i, s = xs
+            inp, target = gather(i, s)
+            out = model.apply(params, inp, out_steps=model_out_steps)
+            return None, metric_fn(out, target)
+
+        _, metrics = jax.lax.scan(one, None, (idx, starts))
+        return metrics.mean()
+
+    return jax.jit(run_eval)
+
+
 def make_eval_step(model, metric_fn: Callable, out_steps: Optional[int] = None):
     """Jitted eval step returning the metric for one batch."""
 

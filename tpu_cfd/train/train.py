@@ -175,20 +175,67 @@ def main(args=None):
     path_model = os.path.join(
         MODEL_PATH, f"sfno_{example}_{n}x{n}_m{args.modes}_w{args.width}"
     )
+    # Device-resident data path: the whole train/val arrays live on device
+    # and each epoch runs as ONE jitted lax.scan fed tiny (idx, starts)
+    # int32 arrays — removes the per-batch host slicing, the per-batch H2D
+    # through the device tunnel, and the per-step blocking loss sync.
+    # Batches are bitwise-identical to the host path (epoch_indices draws
+    # the same rng stream). Host path remains for --host-data,
+    # --data-parallel (batches shard over the mesh there), and datasets too
+    # big to keep resident.
+    data_bytes = train_dataset.data[fs].nbytes + val_dataset.data[fs].nbytes
+    use_device_data = (
+        not args.host_data
+        and not args.data_parallel
+        and data_bytes <= args.device_data_limit_gb * 2**30
+    )
+    if use_device_data:
+        run_epoch = pipeline.make_scan_epoch(
+            model, loss_func, optimizer,
+            jnp.asarray(train_dataset.data[fs]), time_steps, out_steps,
+        )
+        run_eval = pipeline.make_scan_eval(
+            model, loss_func, jnp.asarray(val_dataset.data[fs]),
+            time_steps, out_steps, model_out_steps=out_steps,
+        )
+        logger.info(
+            f"Device-resident data path: {data_bytes / 2**20:.0f} MiB on"
+            " device, one scan dispatch per epoch"
+        )
+
     val_l2_min = np.inf
     if not args.eval_only:
         for ep in range(args.epochs):
-            train_l2, count = 0.0, 0
-            for inp, out in train_dataset.batches(args.batch_size, rng):
-                a = device_put_batch(inp[fs])
-                u = device_put_batch(out[fs])
-                params, opt_state, l2 = train_step(params, opt_state, a, u)
-                train_l2 += float(l2)
-                count += 1
-            val_l2 = pipeline.eval_epoch(
-                eval_step, params, val_dataset, args.batch_size, field=fs,
-                device_put=device_put_batch,
-            )
+            if use_device_data:
+                idx, starts = train_dataset.epoch_indices(args.batch_size, rng)
+                params, opt_state, ep_losses = run_epoch(
+                    params, opt_state, jnp.asarray(idx), jnp.asarray(starts)
+                )
+                train_l2 = float(ep_losses.sum())
+                count = int(ep_losses.shape[0])
+                vidx, vstarts = val_dataset.epoch_indices(
+                    args.batch_size, np.random.default_rng(0), shuffle=False
+                )
+                if vidx.size == 0:
+                    raise ValueError(
+                        f"val dataset yielded no batches "
+                        f"(n={len(val_dataset)}, batch={args.batch_size})"
+                    )
+                val_l2 = float(run_eval(
+                    params, jnp.asarray(vidx), jnp.asarray(vstarts)
+                ))
+            else:
+                train_l2, count = 0.0, 0
+                for inp, out in train_dataset.batches(args.batch_size, rng):
+                    a = device_put_batch(inp[fs])
+                    u = device_put_batch(out[fs])
+                    params, opt_state, l2 = train_step(params, opt_state, a, u)
+                    train_l2 += float(l2)
+                    count += 1
+                val_l2 = pipeline.eval_epoch(
+                    eval_step, params, val_dataset, args.batch_size, field=fs,
+                    device_put=device_put_batch,
+                )
             if val_l2 < val_l2_min:
                 pipeline.save_checkpoint(params, path_model)
                 val_l2_min = val_l2
@@ -306,6 +353,13 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--grad-clip", type=float, default=0.0)
     parser.add_argument("--spatial-random-feats", default=False, action="store_true")
     parser.add_argument("--lift-linear", default=False, action="store_true")
+    parser.add_argument("--host-data", default=False, action="store_true",
+                        help="force the host-driven batch loop (per-batch"
+                             " numpy slicing + H2D) instead of the"
+                             " device-resident scan-per-epoch path")
+    parser.add_argument("--device-data-limit-gb", type=float, default=6.0,
+                        help="fall back to --host-data when train+val arrays"
+                             " exceed this size (HBM budget)")
     parser.add_argument("--double", default=False, action="store_true")
     parser.add_argument("--mxu-precision", type=str, default="high",
                         choices=["highest", "high", "default"],
