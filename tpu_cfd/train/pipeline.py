@@ -150,6 +150,25 @@ def _window_gather(data, steps: int, out_steps: int):
     return gather
 
 
+def _batch_constraint(mesh):
+    """Shards gathered (b, ...) batches over the mesh's data axis.
+
+    The data array is replicated (gathers are cheap and local); the batch
+    produced from it is constrained to data-parallel sharding, so the model
+    compute and the gradient psum distribute exactly as in the host
+    ``--data-parallel`` path.
+    """
+    if mesh is None:
+        return lambda x: x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def constrain(x):
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return constrain
+
+
 def make_scan_epoch(
     model,
     loss_fn: Callable,
@@ -158,6 +177,7 @@ def make_scan_epoch(
     steps: int,
     out_steps: int,
     normalizer=None,
+    mesh=None,
 ):
     """One WHOLE training epoch as a single jitted ``lax.scan``.
 
@@ -175,11 +195,13 @@ def make_scan_epoch(
     (params, opt_state, losses)``; params/opt_state buffers are donated.
     """
     gather = _window_gather(data, steps, out_steps)
+    constrain = _batch_constraint(mesh)
 
     def one_step(carry, xs):
         params, opt_state = carry
         idx, starts = xs
         inp, target = gather(idx, starts)
+        inp, target = constrain(inp), constrain(target)
 
         def loss(p):
             out = model.apply(p, inp)
@@ -212,6 +234,7 @@ def make_scan_eval(
     steps: int,
     out_steps: int,
     model_out_steps: Optional[int] = None,
+    mesh=None,
 ):
     """Whole-val-set eval as one jitted scan over device-resident data.
 
@@ -219,11 +242,13 @@ def make_scan_eval(
     ``eval_epoch`` fed the same (idx, starts).
     """
     gather = _window_gather(data, steps, out_steps)
+    constrain = _batch_constraint(mesh)
 
     def run_eval(params, idx, starts):
         def one(_, xs):
             i, s = xs
             inp, target = gather(i, s)
+            inp, target = constrain(inp), constrain(target)
             out = model.apply(params, inp, out_steps=model_out_steps)
             return None, metric_fn(out, target)
 

@@ -186,21 +186,31 @@ def main(args=None):
     data_bytes = train_dataset.data[fs].nbytes + val_dataset.data[fs].nbytes
     use_device_data = (
         not args.host_data
-        and not args.data_parallel
         and data_bytes <= args.device_data_limit_gb * 2**30
     )
     if use_device_data:
+        if mesh is None:
+            put_data = jnp.asarray
+        else:
+            # replicate the dataset; the scan constrains each gathered batch
+            # to data-parallel sharding, so compute and the gradient psum
+            # distribute exactly as in the host --data-parallel path
+            from tpu_cfd.parallel import replicate as _replicate
+
+            put_data = lambda x: _replicate(jnp.asarray(x), mesh)  # noqa: E731
         run_epoch = pipeline.make_scan_epoch(
             model, loss_func, optimizer,
-            jnp.asarray(train_dataset.data[fs]), time_steps, out_steps,
+            put_data(train_dataset.data[fs]), time_steps, out_steps,
+            mesh=mesh,
         )
         run_eval = pipeline.make_scan_eval(
-            model, loss_func, jnp.asarray(val_dataset.data[fs]),
-            time_steps, out_steps, model_out_steps=out_steps,
+            model, loss_func, put_data(val_dataset.data[fs]),
+            time_steps, out_steps, model_out_steps=out_steps, mesh=mesh,
         )
         logger.info(
             f"Device-resident data path: {data_bytes / 2**20:.0f} MiB on"
             " device, one scan dispatch per epoch"
+            + ("" if mesh is None else f" (data-parallel over {mesh})")
         )
 
     val_l2_min = np.inf
