@@ -189,6 +189,61 @@ def bench_sfno_train(n=64, batch=4, t_in=10, t_out=40, n_calls=30,
     }
 
 
+def bench_train_pipeline(n=64, batch=4, t_in=10, t_out=40, n_samples=64,
+                         width=20):
+    """END-TO-END trainer throughput: the device-resident scan-per-epoch
+    path (pipeline.make_scan_epoch) on synthetic data at the same model
+    config as bench_sfno_train. bench_sfno_train times the bare jitted
+    step on pre-staged device arrays; this row times a WHOLE epoch
+    including window gathering — the production train CLI's fast path.
+    The gap between the two is the residual pipeline overhead (the host
+    loop it replaces measured ~10x the step time: per-batch numpy
+    slicing + H2D through the device tunnel + a per-step loss sync)."""
+    from tpu_cfd.data.datasets import SpatioTemporalDataset
+    from tpu_cfd.models import SFNO
+    from tpu_cfd.train import losses, pipeline
+
+    T = t_in + t_out + 4
+    rng = np.random.default_rng(0)
+    data = {"vorticity":
+            rng.standard_normal((n_samples, T, n, n)).astype(np.float32)}
+    ds = SpatioTemporalDataset(dict(data), n_samples=n_samples, steps=t_in,
+                               out_steps=t_out, fields=["vorticity"])
+    model = SFNO(modes_x=12, modes_y=12, modes_t=5, width=width, beta=1e-2,
+                 output_steps=t_out)
+    key = jax.random.PRNGKey(0)
+    inp0, _ = ds.sample(np.arange(batch), rng)
+    params = jax.jit(lambda k, v: model.init(k, v, out_steps=t_out))(
+        key, jnp.asarray(inp0["vorticity"]))
+    loss_fn = losses.SobolevLoss(n_grid=n, norm_order=0, relative=True)
+    import optax
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    run_epoch = pipeline.make_scan_epoch(
+        model, loss_fn, opt, jnp.asarray(ds.data["vorticity"]), t_in, t_out)
+
+    def epoch(params, opt_state, seed):
+        idx, starts = ds.epoch_indices(batch, np.random.default_rng(seed))
+        params, opt_state, ls = run_epoch(
+            params, opt_state, jnp.asarray(idx), jnp.asarray(starts))
+        return params, opt_state, ls
+
+    params, opt_state, ls = epoch(params, opt_state, 0)  # compile + warmup
+    _ = np.asarray(ls)
+    n_batches = ls.shape[0]
+    t0 = time.perf_counter()
+    params, opt_state, ls = epoch(params, opt_state, 1)
+    _ = np.asarray(ls)
+    dt = time.perf_counter() - t0
+    return {
+        "batch": batch,
+        "samples_per_s": n_batches * batch / dt,
+        "ms_per_epoch": round(dt * 1e3, 1),
+        "n_batches": n_batches,
+    }
+
+
 def costmodel_bound(flops_per_unit, hbm_per_unit, units_per_s):
     """XLA cost-model statement. NOT a measured roofline: "bytes accessed"
     counts nominal per-op operand bytes before fusion, so the implied
@@ -258,6 +313,19 @@ def main():
     t4 = bench_sfno_train(trace_dir=trace_dir, n_calls=sfno_kw_calls, **sfno_kw)
     t32 = bench_sfno_train(batch=b32, n_calls=b32_calls, **sfno_kw)
     t4_bf16 = bench_sfno_train(compute_dtype="bfloat16", n_calls=sfno_kw_calls, **sfno_kw)
+    try:
+        pipe_kw = dict(n=sfno_kw.get("n", 64), t_in=sfno_kw.get("t_in", 10),
+                       t_out=sfno_kw.get("t_out", 40))
+        if args.smoke:
+            pipe_kw.update(n_samples=8, width=8)
+        tpipe = bench_train_pipeline(**pipe_kw)
+    except Exception as e:  # noqa: BLE001 — scan-wrapped model programs
+        # have wedged this backend before (see bench_sfno_train comment);
+        # the pipeline row must not sink the whole bench
+        import sys
+
+        print(f"bench: train pipeline row failed: {e!r}", file=sys.stderr)
+        tpipe = {"samples_per_s": 0.0, "error": repr(e)[:200]}
 
     result = {
         "metric": "McWilliams 256^2 batch=8 RK4-CN vorticity solver steps/s",
@@ -291,6 +359,10 @@ def main():
                 t32["samples_per_s"], 2),
             "sfno_train_bf16_act_samples_per_s_per_chip": round(
                 t4_bf16["samples_per_s"], 2),
+            "sfno_train_pipeline_samples_per_s_per_chip": round(
+                tpipe["samples_per_s"], 2),
+            **({"sfno_train_pipeline_error": tpipe["error"]}
+               if "error" in tpipe else {}),
             "sfno_train_costmodel": costmodel_bound(
                 t4["flops"], t4["hbm"], t4["samples_per_s"] / t4["batch"]),
         },
