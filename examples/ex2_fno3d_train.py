@@ -138,38 +138,64 @@ def main(argv=None):
         def denorm(u):  # .mat targets are raw solution frames
             return u
 
+    # Both dataset kinds have STATIC windows (fixed T_start / fixed input-
+    # output split), so all windows are materialized once and kept
+    # device-resident; each epoch is ONE jitted lax.scan fed a permutation
+    # array — no per-batch host slicing, H2D, or loss syncs (same design as
+    # pipeline.make_scan_epoch; the host loop measured ~110 s/epoch at the
+    # reference recipe, dominated by off-device time).
+    if args.mat_file:
+        a_np, u_np = train_ds.a, train_ds.u
+        at_np, ut_np = test_ds.a, test_ds.u
+    else:
+        inp, out = train_ds.sample(np.arange(len(train_ds)))
+        a_np, u_np = inp["vorticity"], out["vorticity"]
+        inp, out = test_ds.sample(np.arange(len(test_ds)))
+        at_np, ut_np = inp["vorticity"], out["vorticity"]
+    A, U = jnp.asarray(a_np), jnp.asarray(u_np)
+    At, Ut = jnp.asarray(at_np), jnp.asarray(ut_np)
+
     @jax.jit
-    def train_step(params, opt_state, a, u):
-        def loss(p):
-            out, _ = model.apply(p, make_fno3d_input(a, T))
-            return loss_fn(denorm(out), denorm(u))
+    def run_epoch(params, opt_state, order):
+        def one(carry, idx):
+            params, opt_state = carry
+            a, u = jnp.take(A, idx, axis=0), jnp.take(U, idx, axis=0)
 
-        l, grads = jax.value_and_grad(loss)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, l
+            def loss(p):
+                out, _ = model.apply(p, make_fno3d_input(a, T))
+                return loss_fn(denorm(out), denorm(u))
+
+            l, grads = jax.value_and_grad(loss)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), l
+
+        (params, opt_state), ls = jax.lax.scan(one, (params, opt_state), order)
+        return params, opt_state, ls
 
     @jax.jit
-    def eval_step(params, a, u):
-        out, _ = model.apply(params, make_fno3d_input(a, T))
-        return loss_fn(denorm(out), denorm(u))
+    def run_eval(params):
+        def one(_, au):
+            a, u = au
+            out, _ = model.apply(params, make_fno3d_input(a[None], T))
+            return None, loss_fn(denorm(out), denorm(u[None]))
 
+        _, ms = jax.lax.scan(one, None, (At, Ut))
+        return ms.mean()
+
+    nb = max(1, len(train_ds) // args.batch_size)
     for ep in range(args.epochs):
-        tr, count = 0.0, 0
-        for a, u in batch_iter(train_ds, args.batch_size, rng):
-            params, opt_state, l = train_step(
-                params, opt_state, jnp.asarray(a), jnp.asarray(u)
-            )
-            tr += float(l)
-            count += 1
-        evals = [
-            float(eval_step(params, jnp.asarray(a), jnp.asarray(u)))
-            for a, u in batch_iter(test_ds, 1, rng, shuffle=False)
-        ]
+        # same rng stream as the old host loop: one permutation per epoch
+        order = rng.permutation(len(train_ds))
+        order = order[: nb * args.batch_size].reshape(nb, args.batch_size)
+        params, opt_state, ls = run_epoch(
+            params, opt_state, jnp.asarray(order.astype(np.int32))
+        )
+        test_l2 = float(run_eval(params))
         print(
             f"Epoch {ep + 1:2d}/{args.epochs} | train rel L2:"
-            f" {tr / max(count, 1):.5e} | test rel L2: {np.mean(evals):.5e}"
+            f" {float(ls.mean()):.5e} | test rel L2: {test_l2:.5e}"
         )
-    return float(np.mean(evals))
+    return test_l2
 
 
 if __name__ == "__main__":
