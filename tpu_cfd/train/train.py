@@ -5,10 +5,11 @@ DATA_FILES registry: :33-44, OneCycleLR: :145-152, SobolevLoss: :154,
 best-validation checkpointing: :197-199, high-resolution eval phase:
 :207-252, argparse: :278-313).
 
-The torch epoch loop becomes: host-side numpy batching → one jitted
-train_step per batch (value_and_grad + optax OneCycle Adam) → jitted eval.
-Batches can be sharded over a device mesh with ``--data-parallel``
-(the reference is single-device only).
+The torch epoch loop becomes ONE jitted ``lax.scan`` per epoch over the
+device-resident dataset (pipeline.make_scan_epoch; ``--host-data`` falls
+back to per-batch host slicing + jitted train_step). Batches can be sharded
+over a device mesh with ``--data-parallel`` (the reference is single-device
+only).
 
 Example (reproduces the reference's McWilliams run, fno/README.md:72):
   python -m tpu_cfd.train.train --example McWilliams2d --epochs 15 \
@@ -215,7 +216,10 @@ def main(args=None):
 
     val_l2_min = np.inf
     if not args.eval_only:
+        import time as _time
+
         for ep in range(args.epochs):
+            _t0 = _time.perf_counter()
             if use_device_data:
                 idx, starts = train_dataset.epoch_indices(args.batch_size, rng)
                 params, opt_state, ep_losses = run_epoch(
@@ -252,7 +256,8 @@ def main(args=None):
             logger.info(
                 f"Epoch [{ep + 1:3d}/{args.epochs}] "
                 f"avg train rel: {train_l2 / max(count, 1):.4e} | "
-                f"avg val rel: {val_l2:.4e}"
+                f"avg val rel: {val_l2:.4e} | "
+                f"{_time.perf_counter() - _t0:.1f}s"
             )
         logger.info(f"Training complete. Best model saved to {path_model}")
 
