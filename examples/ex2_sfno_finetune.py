@@ -191,9 +191,14 @@ def main(argv=None):
             )
     # finetune_steps returns the best-residual iterate (the adam tail is
     # non-monotonic at the discretization floor) — report what it achieves
-    best = min(h["residual"] for h in hist)
+    residuals = [h["residual"] for h in hist]
+    best_i = int(np.argmin(residuals))
+    best = residuals[best_i]
     print(f"last-iterate residual: {hist[-1]['residual']:.3e}")
-    print(f"best residual (alpha-weighted H^-1, {iters} iters): {best:.3e}")
+    # history index i = residual of the params after i Adam updates, so
+    # "at iter N" attributes the best number to an exact iteration budget
+    print(f"best residual (alpha-weighted H^-1, {iters} iters): "
+          f"{best:.3e} at iter {best_i}")
     return best
 
 
