@@ -246,3 +246,59 @@ class TestSpatialSharding:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
+
+
+class TestShardedFusedRollout:
+    def test_fused_pipeline_sharded_equals_single_device(self, mesh):
+        """The fused Pallas rollout cannot be split by XLA's SPMD
+        partitioner; the generation pipeline shard_maps it over the "data"
+        axis instead (generate.py make_batch_pipeline(mesh=...)). Contract:
+        warmup + chunked recording + in-program postprocess produce the
+        same dataset sharded as on one device."""
+        from tpu_cfd.data.generate import make_batch_pipeline
+
+        n, batch = 32, 8
+        grid = grids.Grid((n, n), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        ns2d = equations.NavierStokes2DSpectral(
+            viscosity=1e-3, grid=grid, fft_impl="dft_aligned", fused=True
+        )
+        w0 = jax.random.normal(
+            jax.random.PRNGKey(3), (batch, n, n), jnp.float32
+        )
+        what = jnp.fft.rfft2(w0)
+        # warmup 3 steps over 2-step programs and 2 records over 1-record
+        # chunks: exercises both shard_map'd program shapes plus the
+        # host-side chunk re-feed of the sharded carry
+        kw = dict(
+            dt=1e-3, warmup_steps=3, total_steps=4, record_every=2, ns=16,
+            fields=("vorticity", "vort_t"), max_steps_per_program=2,
+        )
+        ref = make_batch_pipeline(ns2d, **kw)(what)
+        with mesh:
+            out = make_batch_pipeline(ns2d, mesh=mesh, **kw)(
+                shard_batch(what, mesh)
+            )
+        assert set(out) == set(ref)
+        for k in ref:
+            # absolute tolerance scaled per field: fp32 dot-summation order
+            # differs between the b8 and per-shard b2 programs, and vort_t
+            # divides that noise by steps*dt
+            scale = float(np.abs(ref[k]).max())
+            np.testing.assert_allclose(
+                out[k], ref[k], rtol=0, atol=1e-4 * scale,
+                err_msg=f"field {k} differs under the sharded fused rollout",
+            )
+
+    def test_sharded_rollout_rejects_ragged_batch(self, mesh):
+        from tpu_cfd.solvers import trajectories
+
+        n = 32
+        grid = grids.Grid((n, n), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+        ns2d = equations.NavierStokes2DSpectral(viscosity=1e-3, grid=grid)
+        what = jnp.fft.rfft2(
+            jax.random.normal(jax.random.PRNGKey(0), (6, n, n), jnp.float32)
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            trajectories.get_trajectory_imex_chunked(
+                ns2d, what, 1e-3, num_steps=2, mesh=mesh
+            )

@@ -125,8 +125,9 @@ def get_args_ns2d(desc: str = "NSE 2D data generation") -> argparse.ArgumentPars
                         "where the FFT wins); dft_galerkin requires "
                         "dealiasing on (no --no-dealias); dft_aligned_fused "
                         "steps whole rollout chunks inside one VMEM-resident "
-                        "Pallas kernel (ops/pallas/spectral_step.py; "
-                        "single-device only)")
+                        "Pallas kernel (ops/pallas/spectral_step.py; with "
+                        "--data-parallel it shard_maps over the device mesh "
+                        "and every batch must divide the device count)")
     p.add_argument("--mxu-precision", type=str, default="high",
                    choices=["highest", "high", "default"],
                    help="MXU precision of the dense-DFT matmuls (dft/"

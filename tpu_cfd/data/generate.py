@@ -25,6 +25,7 @@ keeps the stored dataset device-count-invariant up to fp32 reduction order.
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import sys
@@ -63,6 +64,7 @@ def make_batch_pipeline(
     ns: int,
     fields=("vorticity",),
     max_steps_per_program: int = 2000,
+    mesh=None,
 ):
     """Returns a fn: ŵ0 batch -> physical-space records dict (host numpy).
 
@@ -72,6 +74,12 @@ def make_batch_pipeline(
     program also bounds HBM (each program holds one chunk of records, already
     irfft'd and subsampled in-program). ``fields`` limits what the rollout
     records — vorticity-only runs keep 4× less than all four fields.
+
+    ``mesh``: optional ``jax.sharding.Mesh``; warmup and rollout programs are
+    then ``shard_map``'d over its "data" axis (batch must divide evenly).
+    Required for the fused Pallas stepper under ``--data-parallel`` (SPMD
+    cannot split a ``pallas_call``); the plain XLA paths shard equally well
+    through jit's partitioner, so they only need this when fused.
     """
     n = ns2d.grid.shape[-1]
 
@@ -81,9 +89,18 @@ def make_batch_pipeline(
             for k, v in recs.items()
         }
 
-    fwd = jax.jit(
-        lambda w, s: ns2d.forward(w, dt, steps=s)[0], static_argnums=1
-    )
+    @functools.partial(jax.jit, static_argnums=1)
+    def fwd(w, s):
+        step = lambda w_: ns2d.forward(w_, dt, steps=s)[0]
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            # check_vma off: the vma check cannot see through a pallas_call
+            step = jax.shard_map(
+                step, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+                check_vma=False,
+            )
+        return step(w)
 
     def pipeline(vort_hat: jax.Array) -> Dict[str, np.ndarray]:
         remaining = warmup_steps
@@ -101,6 +118,7 @@ def make_batch_pipeline(
             fields=fields,
             records_per_chunk=records_per_chunk,
             postprocess=postprocess,
+            mesh=mesh,
         )
         return result
 
@@ -223,14 +241,34 @@ def run_generation(
                  "double": bool(args.double),
                  "dealias": not args.no_dealias}, f)
     fused = fft_impl == "dft_aligned_fused"
-    if fused and getattr(args, "data_parallel", False):
-        # XLA's SPMD partitioner cannot split a pallas_call; sharding the
-        # fused rollout needs an explicit shard_map (see __graft_entry__ for
-        # the pattern) — not wired into this CLI yet
-        raise ValueError(
-            "--fft-impl dft_aligned_fused is single-device; "
-            "drop --data-parallel or pick dft_galerkin"
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        # shard the sample batch over every available device: each device
+        # rolls out batch/n_dev trajectories of the same compiled program.
+        # Seeding stays per-sample (fold_in below), so the stored dataset is
+        # bit-identical whatever the device count — including 1.
+        from tpu_cfd.parallel import make_mesh
+
+        mesh = make_mesh()
+        logger.info(
+            f"data-parallel over {mesh.shape['data']} device(s): {mesh}"
         )
+        if fused:
+            # XLA's SPMD partitioner cannot split a pallas_call, so the
+            # fused rollout shards via shard_map inside the pipeline —
+            # which needs EVERY batch (including a ragged final one) to
+            # divide evenly over the data axis
+            n_dev = mesh.shape["data"]
+            todo_now = args.num_samples - existing
+            last = todo_now % args.batch_size or args.batch_size
+            if args.batch_size % n_dev or last % n_dev:
+                raise ValueError(
+                    f"--fft-impl dft_aligned_fused with --data-parallel "
+                    f"needs every generation batch divisible by the "
+                    f"{n_dev}-device data axis; got --batch-size "
+                    f"{args.batch_size} with a final batch of {last} "
+                    f"(remaining samples: {todo_now})"
+                )
     ns2d = NavierStokes2DSpectral(
         viscosity=visc,
         grid=grid,
@@ -251,6 +289,9 @@ def run_generation(
     pipeline = make_batch_pipeline(
         ns2d, dt, warmup_steps, total_steps, record_every, ns, fields=fields,
         max_steps_per_program=args.max_steps_per_program,
+        # the XLA paths shard through jit's SPMD partitioner (sharded inputs
+        # below); only the fused pallas_call needs the explicit shard_map
+        mesh=mesh if fused else None,
     )
     # jit the IC construction too: eager op chains dispatch one tiny program
     # per op, which is both slow over the device tunnel and flaky
@@ -266,19 +307,6 @@ def run_generation(
         f"Generating {todo} samples in {num_batches} batches "
         f"(resuming from {existing}) -> {data_filepath}"
     )
-
-    mesh = None
-    if getattr(args, "data_parallel", False):
-        # shard the sample batch over every available device: each device
-        # rolls out batch/n_dev trajectories of the same compiled program.
-        # Seeding stays per-sample (fold_in below), so the stored dataset is
-        # bit-identical whatever the device count — including 1.
-        from tpu_cfd.parallel import make_mesh
-
-        mesh = make_mesh()
-        logger.info(
-            f"data-parallel over {mesh.shape['data']} device(s): {mesh}"
-        )
 
     def _maybe_shard(batch_array):
         if mesh is None or batch_array.shape[0] % mesh.shape["data"] != 0:

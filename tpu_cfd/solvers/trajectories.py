@@ -226,6 +226,7 @@ def get_trajectory_imex_chunked(
     fields: Tuple[str, ...] = _ALL_TRAJECTORY_FIELDS,
     records_per_chunk: Optional[int] = None,
     postprocess=None,
+    mesh=None,
 ):
     """:func:`get_trajectory_imex` split into bounded device programs.
 
@@ -238,6 +239,14 @@ def get_trajectory_imex_chunked(
     chunk program, so full-resolution spectral records never accumulate on
     the device — HBM holds one chunk instead of the whole trajectory.
 
+    ``mesh``: optional ``jax.sharding.Mesh``; when given, each chunk program
+    is wrapped in ``shard_map`` over the mesh's "data" axis (the leading
+    batch dim of ``w0``, which must be divisible by the axis size). This is
+    REQUIRED to scale rollouts whose step is a ``pallas_call`` — XLA's SPMD
+    partitioner cannot split one, so a fused stepper under plain jit would
+    gather the whole batch to one device — and harmless for XLA steps
+    (every per-chunk op is batch-elementwise; no cross-sample collectives).
+
     Returns (records dict as stacked host numpy arrays, final ŵ).
     """
     import numpy as np
@@ -245,8 +254,15 @@ def get_trajectory_imex_chunked(
     num_records = -(-num_steps // record_every_steps)
     rpc = num_records if records_per_chunk is None else records_per_chunk
 
-    @partial(jax.jit, static_argnums=(1, 2))
-    def run_chunk(w, n_recs, lead_steps):
+    if mesh is not None:
+        n_dev = mesh.shape["data"]
+        if w0.ndim < 3 or w0.shape[0] % n_dev != 0:
+            raise ValueError(
+                f"sharded rollout needs a leading batch divisible by the "
+                f"data axis ({n_dev}); got state shape {w0.shape}"
+            )
+
+    def chunk_body(w, n_recs, lead_steps):
         # first record lands ``lead_steps`` in (1 for the first chunk, else
         # record_every_steps), the remaining n_recs-1 every record_every_steps
         w, dwdt = equation.forward(w, dt, steps=lead_steps)
@@ -265,6 +281,25 @@ def get_trajectory_imex_chunked(
         if postprocess is not None:
             traj = postprocess(traj)
         return w_final, traj
+
+    @partial(jax.jit, static_argnums=(1, 2))
+    def run_chunk(w, n_recs, lead_steps):
+        if mesh is None:
+            return chunk_body(w, n_recs, lead_steps)
+        from jax.sharding import PartitionSpec as P
+
+        # every output (final state AND records) keeps batch at axis 0:
+        # _stack_records moves time to -3 before returning. check_vma off:
+        # pallas_call out_shapes carry no varying-mesh-axes annotation, so
+        # the vma check cannot see through a fused kernel (same pattern as
+        # __graft_entry__'s fused step)
+        return jax.shard_map(
+            lambda w_: chunk_body(w_, n_recs, lead_steps),
+            mesh=mesh,
+            in_specs=P("data"),
+            out_specs=P("data"),
+            check_vma=False,
+        )(w)
 
     chunks = []
     w = w0
