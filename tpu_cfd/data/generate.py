@@ -195,14 +195,15 @@ def run_generation(
     fft_impl = getattr(args, "fft_impl", None)
     fft_impl_explicit = fft_impl is not None
     if fft_impl is None:
-        # default: MXU matmul path restricted to the 2/3-rule block on the
-        # accelerator (exact for the dealiased dynamics), jnp.fft for fp64
-        # runs (those solve on CPU, where the FFT wins) and for
-        # --no-dealias runs (the galerkin block IS the dealias support)
+        # default: the fused Pallas stepper — per-sample step time is flat
+        # in batch where the XLA paths double (RESULTS.md round 3: 25,293
+        # vs 14,423 sample-steps/s at the b128 operating point). jnp.fft
+        # for fp64 runs (those solve on CPU, where the FFT wins) and for
+        # --no-dealias runs (the fused kernel hard-codes the 2/3 filter).
         if args.double or args.no_dealias:
             fft_impl = "fft"
         else:
-            fft_impl = "dft_galerkin"
+            fft_impl = "dft_aligned_fused"
     mxu_precision = getattr(args, "mxu_precision", "high")
     # sidecar metadata pins the solver configuration of a resumable run:
     # different fft_impls agree only to the fp32 noise floor, so parts of
@@ -262,13 +263,32 @@ def run_generation(
             todo_now = args.num_samples - existing
             last = todo_now % args.batch_size or args.batch_size
             if args.batch_size % n_dev or last % n_dev:
-                raise ValueError(
-                    f"--fft-impl dft_aligned_fused with --data-parallel "
-                    f"needs every generation batch divisible by the "
-                    f"{n_dev}-device data axis; got --batch-size "
-                    f"{args.batch_size} with a final batch of {last} "
-                    f"(remaining samples: {todo_now})"
+                if fft_impl_explicit:
+                    raise ValueError(
+                        f"--fft-impl dft_aligned_fused with --data-parallel "
+                        f"needs every generation batch divisible by the "
+                        f"{n_dev}-device data axis; got --batch-size "
+                        f"{args.batch_size} with a final batch of {last} "
+                        f"(remaining samples: {todo_now})"
+                    )
+                # defaulted impl: fall back to the fastest XLA path, which
+                # shards through jit's SPMD partitioner with no divisibility
+                # constraint (physics agrees to the fp32 noise floor)
+                logger.info(
+                    f"batching ({args.batch_size}, final {last}) does not "
+                    f"divide the {n_dev}-device data axis: falling back "
+                    f"from the fused stepper to fft_impl=dft_galerkin"
                 )
+                fft_impl = "dft_galerkin"
+                fused = False
+                if existing == 0:  # keep the sidecar pin truthful
+                    import json as _json
+
+                    with open(meta_path) as f:
+                        meta = _json.load(f)
+                    meta["fft_impl"] = fft_impl
+                    with open(meta_path, "w") as f:
+                        _json.dump(meta, f)
     ns2d = NavierStokes2DSpectral(
         viscosity=visc,
         grid=grid,

@@ -147,8 +147,24 @@ def _make_kernel(steps: int, mus, precision: str):
             spectrum axis, so the stage-1 outputs row-stack into ONE (4n, m)
             left operand — same FLOPs as 4 separate irfft2s in 6 wide
             matmuls instead of 24 narrow ones (VMEM-local relayouts only).
+
+            The row-restack slices the (n, 4m) stage-1 output at lane
+            offsets i*m, which Mosaic can only re-concatenate when m is a
+            multiple of the 128-lane vreg ("result/input offset mismatch on
+            non-concat dimension" otherwise) — sub-128² grids (m = n/2 <
+            128) take the unbatched per-field path instead, where the FLOP
+            count is too small to matter.
             """
             m = fields[0][0].shape[-1]
+            if m % 128:
+                out = []
+                for fre, fim in fields:
+                    pre_, pim_ = prep(fre), prep(fim)
+                    ar = mm(p_gf_re, pre_) - mm(p_gf_im, pim_)   # (n, m)
+                    ai = mm(p_gf_re, pim_) + mm(p_gf_im, pre_)
+                    out.append(mm(prep(ar), p_il_re)
+                               + mm(prep(ai), p_il_im))          # (n, n)
+                return out
             xre = jnp.concatenate([f[0] for f in fields], axis=1)
             xim = jnp.concatenate([f[1] for f in fields], axis=1)
             pxre, pxim = prep(xre), prep(xim)
