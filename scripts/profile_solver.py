@@ -111,7 +111,7 @@ def scaling_mode(n, batch, impl="fft", precision="highest"):
     coef, *_ = np.linalg.lstsq(A, np.asarray(times), rcond=None)
     a, b = coef
     print(json.dumps({
-        "impl": impl, "batch": batch, "precision": precision,
+        "impl": impl, "n": n, "batch": batch, "precision": precision,
         "per_call_overhead_ms": round(a * 1e3, 2),
         "per_step_device_ms": round(b * 1e3, 3),
         "sample_steps_per_s_device": round(batch / b, 0),

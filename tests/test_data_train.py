@@ -353,6 +353,50 @@ class TestIncrementalIO:
         meta2 = json.load(open(str(path2) + ".meta.json"))
         assert meta2["fft_impl"] == "fft"
 
+    def test_default_fused_dp_fallback_repins_sidecar(self, tmp_path):
+        """Defaulted impl + --data-parallel with a batch that does not
+        divide the 8-device data axis must fall back from the fused stepper
+        to dft_galerkin AND keep the sidecar pin truthful: a fresh run
+        repins to dft_galerkin; a resumed run (earlier samples generated
+        fused) additionally records the implementation mix (ADVICE r3)."""
+        import json
+
+        from tpu_cfd.data import generate
+
+        flags = ["--grid-size", "32", "--time", "0.05", "--time-warmup",
+                 "0.02", "--num-steps", "2", "--batch-size", "6",
+                 "--filepath", str(tmp_path), "--logpath", str(tmp_path)]
+
+        # fresh run: 6 % 8 != 0 -> fallback fires, pin reads dft_galerkin
+        path = generate.main_mcwilliams(
+            flags + ["--num-samples", "6", "--data-parallel"]
+        )
+        meta = json.load(open(str(path) + ".meta.json"))
+        assert meta["fft_impl"] == "dft_galerkin"
+        assert "mixed_fft_impls" not in meta
+
+        # resume-mix: first 6 samples generated with the fused default
+        # (no --data-parallel, so no divisibility constraint) ...
+        path2 = generate.main_mcwilliams(
+            flags + ["--num-samples", "6",
+                     "--filename", "mixpin.npz"]
+        )
+        meta2 = json.load(open(str(path2) + ".meta.json"))
+        assert meta2["fft_impl"] == "dft_aligned_fused"
+        # ... then resumed under --data-parallel with an indivisible batch:
+        # the fallback must warn and record the mix in the sidecar
+        path3 = generate.main_mcwilliams(
+            flags + ["--num-samples", "12", "--data-parallel",
+                     "--filename", "mixpin.npz"]
+        )
+        with np.load(path3) as z:
+            assert z["vorticity"].shape[0] == 12
+        meta3 = json.load(open(str(path3) + ".meta.json"))
+        assert meta3["fft_impl"] == "dft_galerkin"
+        assert meta3["mixed_fft_impls"] == [
+            "dft_aligned_fused", "dft_galerkin"
+        ]
+
     def test_parse_diam(self):
         assert data_utils.parse_diam("2pi") == pytest.approx(2 * np.pi)
         assert data_utils.parse_diam(1.5) == 1.5

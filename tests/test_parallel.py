@@ -207,17 +207,28 @@ class TestDataGenDataParallel:
         )
         with np.load(p1) as a, np.load(p2) as b:
             assert set(a.files) == set(b.files)
+            # Tolerance model (measured over seeds 0-2 at this exact config,
+            # round 4): sharding changes the per-program batch (b8 -> b1
+            # shards), which reorders fp32 matmul/FFT reductions. That noise
+            # enters the vorticity trajectory at ~2e-7 of its scale, and the
+            # finite-difference 1/(record_every*dt) amplifies it into vort_t
+            # (measured 1.7-2.2e-5 of scale(vort_t)). residual inherits
+            # vort_t's ABSOLUTE noise while its own scale is ~30x smaller,
+            # so both derivative-family fields are bounded by scale(vort_t):
+            # atol = 1e-4*scale(vort_t) is a 5x margin. Direct fields
+            # (vorticity/stream) measured <= 2.7e-7 relative; 1e-5 is 40x.
+            scale_vt = np.abs(a["vort_t"]).max()
             for k in a.files:
                 x, y = a[k], b[k]
                 if x.dtype.kind in "iu":
                     np.testing.assert_array_equal(x, y)
                     continue
-                # SPMD partitioning reorders fp32 FFT reductions; measured
-                # max deviation is ~1e-4 of the field scale (residual, the
-                # difference-of-large-terms field) and <1e-6 for the rest
-                scale = np.abs(x).max()
+                if k in ("vort_t", "residual"):
+                    atol = 1e-4 * scale_vt
+                else:
+                    atol = 1e-5 * np.abs(x).max()
                 np.testing.assert_allclose(
-                    x, y, rtol=0, atol=5e-4 * scale,
+                    x, y, rtol=0, atol=atol,
                     err_msg=f"field {k} differs under --data-parallel",
                 )
 

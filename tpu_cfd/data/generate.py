@@ -257,38 +257,59 @@ def run_generation(
         if fused:
             # XLA's SPMD partitioner cannot split a pallas_call, so the
             # fused rollout shards via shard_map inside the pipeline —
-            # which needs EVERY batch (including a ragged final one) to
-            # divide evenly over the data axis
+            # which needs EVERY batch that actually runs (including a
+            # ragged final one) to divide evenly over the data axis
             n_dev = mesh.shape["data"]
             todo_now = args.num_samples - existing
-            last = todo_now % args.batch_size or args.batch_size
-            if args.batch_size % n_dev or last % n_dev:
+            full = min(args.batch_size, todo_now)
+            last = todo_now % args.batch_size or full
+            if full % n_dev or last % n_dev:
                 if fft_impl_explicit:
                     raise ValueError(
                         f"--fft-impl dft_aligned_fused with --data-parallel "
                         f"needs every generation batch divisible by the "
-                        f"{n_dev}-device data axis; got --batch-size "
-                        f"{args.batch_size} with a final batch of {last} "
+                        f"{n_dev}-device data axis; got batches of {full} "
+                        f"with a final batch of {last} "
                         f"(remaining samples: {todo_now})"
                     )
                 # defaulted impl: fall back to the fastest XLA path, which
                 # shards through jit's SPMD partitioner with no divisibility
                 # constraint (physics agrees to the fp32 noise floor)
-                logger.info(
-                    f"batching ({args.batch_size}, final {last}) does not "
-                    f"divide the {n_dev}-device data axis: falling back "
-                    f"from the fused stepper to fft_impl=dft_galerkin"
+                msg = (
+                    f"batching ({full}, final {last}) does not divide the "
+                    f"{n_dev}-device data axis: falling back from the fused "
+                    f"stepper to fft_impl=dft_galerkin"
                 )
+                if existing > 0:
+                    # resumed run: earlier samples were generated with the
+                    # recorded (fused) impl, so the finished dataset mixes
+                    # transform implementations — warn like the explicit-
+                    # impl mix path and record the mix in the sidecar
+                    logger.warning(
+                        f"resuming {data_filepath}: {msg}; the dataset "
+                        "will mix transform implementations"
+                    )
+                else:
+                    logger.info(msg)
+                prev_impl = fft_impl
                 fft_impl = "dft_galerkin"
                 fused = False
-                if existing == 0:  # keep the sidecar pin truthful
-                    import json as _json
+                # keep the sidecar pin truthful in BOTH cases: fresh runs
+                # repin to the impl actually used; resumed runs addition-
+                # ally record the mix so later resumes can see it
+                import json as _json
 
+                meta = {}
+                if os.path.exists(meta_path):
                     with open(meta_path) as f:
                         meta = _json.load(f)
-                    meta["fft_impl"] = fft_impl
-                    with open(meta_path, "w") as f:
-                        _json.dump(meta, f)
+                if existing > 0 and meta.get("fft_impl", prev_impl) != fft_impl:
+                    mixed = set(meta.get("mixed_fft_impls", []))
+                    mixed |= {meta.get("fft_impl", prev_impl), fft_impl}
+                    meta["mixed_fft_impls"] = sorted(mixed)
+                meta["fft_impl"] = fft_impl
+                with open(meta_path, "w") as f:
+                    _json.dump(meta, f)
     ns2d = NavierStokes2DSpectral(
         viscosity=visc,
         grid=grid,
