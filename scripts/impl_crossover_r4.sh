@@ -7,6 +7,7 @@
 # justify per-resolution impl defaults. Fault-tolerant: a failing point
 # (OOM/VMEM/timeout) is recorded and the sweep continues.
 cd "$(dirname "$0")/.."
+set -o pipefail  # a failing profile run must not be masked by tee
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 out=results/crossover_r4.jsonl
 mkdir -p results

@@ -353,15 +353,26 @@ class TestIncrementalIO:
         meta2 = json.load(open(str(path2) + ".meta.json"))
         assert meta2["fft_impl"] == "fft"
 
-    def test_default_fused_dp_fallback_repins_sidecar(self, tmp_path):
+    def test_default_fused_dp_fallback_repins_sidecar(
+        self, tmp_path, monkeypatch
+    ):
         """Defaulted impl + --data-parallel with a batch that does not
         divide the 8-device data axis must fall back from the fused stepper
         to dft_galerkin AND keep the sidecar pin truthful: a fresh run
         repins to dft_galerkin; a resumed run (earlier samples generated
-        fused) additionally records the implementation mix (ADVICE r3)."""
+        fused) additionally records the implementation mix (ADVICE r3).
+        The resolution-aware default only picks fused at 256²/b≥32
+        (equations.recommended_fft_impl), so pin the default to fused here
+        to exercise the fallback on CPU-sized grids."""
         import json
 
         from tpu_cfd.data import generate
+        from tpu_cfd.solvers import equations
+
+        monkeypatch.setattr(
+            equations, "recommended_fft_impl",
+            lambda *a, **k: "dft_aligned_fused",
+        )
 
         flags = ["--grid-size", "32", "--time", "0.05", "--time-warmup",
                  "0.02", "--num-steps", "2", "--batch-size", "6",
@@ -396,6 +407,25 @@ class TestIncrementalIO:
         assert meta3["mixed_fft_impls"] == [
             "dft_aligned_fused", "dft_galerkin"
         ]
+
+    def test_recommended_fft_impl_table(self):
+        """The resolution-aware solver-impl default encodes the measured
+        round-4 crossover table (results/crossover_r4.jsonl)."""
+        from tpu_cfd.solvers.equations import recommended_fft_impl
+
+        # fp64 -> CPU -> fft; no dealiasing -> fft (galerkin/fused need it)
+        assert recommended_fft_impl(256, 128, double=True) == "fft"
+        assert recommended_fft_impl(256, 128, dealias=False) == "fft"
+        # fused only at its measured 256²/large-batch operating point
+        assert recommended_fft_impl(256, 128) == "dft_aligned_fused"
+        assert recommended_fft_impl(256, 32) == "dft_aligned_fused"
+        assert recommended_fft_impl(256, 8) == "dft_galerkin"
+        # galerkin wins at every batch at 128² and is the only compiling
+        # dense path at >=512²
+        assert recommended_fft_impl(128, 128) == "dft_galerkin"
+        assert recommended_fft_impl(512, 128) == "dft_galerkin"
+        assert recommended_fft_impl(1024, 8) == "dft_galerkin"
+        assert recommended_fft_impl(64, 8) == "dft_galerkin"
 
     def test_parse_diam(self):
         assert data_utils.parse_diam("2pi") == pytest.approx(2 * np.pi)

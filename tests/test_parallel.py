@@ -189,16 +189,20 @@ class TestTrainCLIDataParallel:
 
 class TestDataGenDataParallel:
     @pytest.mark.slow
-    def test_generate_cli_equals_single_device(self, tmp_path):
+    @pytest.mark.parametrize("impl", [None, "dft_aligned_fused"])
+    def test_generate_cli_equals_single_device(self, tmp_path, impl):
         """--data-parallel generation over 8 CPU devices stores the same
-        dataset as the single-device run (per-sample fold_in seeding)."""
+        dataset as the single-device run (per-sample fold_in seeding).
+        Parametrized over the resolution-aware default impl (dft_galerkin
+        at this size, sharded by jit's SPMD partitioner) and the explicit
+        fused Pallas stepper (sharded via shard_map)."""
         from tpu_cfd.data import generate
 
         common = [
             "--grid-size", "32", "--num-samples", "8", "--batch-size", "8",
             "--time", "0.03", "--time-warmup", "0.01", "--dt", "1e-3",
             "--num-steps", "2", "--extra-vars",
-        ]
+        ] + ([] if impl is None else ["--fft-impl", impl])
         p1 = generate.main_mcwilliams(
             common + ["--filepath", str(tmp_path / "single")]
         )

@@ -195,15 +195,14 @@ def run_generation(
     fft_impl = getattr(args, "fft_impl", None)
     fft_impl_explicit = fft_impl is not None
     if fft_impl is None:
-        # default: the fused Pallas stepper — per-sample step time is flat
-        # in batch where the XLA paths double (RESULTS.md round 3: 25,293
-        # vs 14,423 sample-steps/s at the b128 operating point). jnp.fft
-        # for fp64 runs (those solve on CPU, where the FFT wins) and for
-        # --no-dealias runs (the fused kernel hard-codes the 2/3 filter).
-        if args.double or args.no_dealias:
-            fft_impl = "fft"
-        else:
-            fft_impl = "dft_aligned_fused"
+        # resolution- and batch-aware default (round-4 crossover sweep,
+        # results/crossover_r4.jsonl): dft_galerkin everywhere except the
+        # 256²/large-batch operating point where the fused Pallas stepper
+        # measured 1.75× faster; fft for fp64 (CPU) and --no-dealias runs.
+        fft_impl = equations.recommended_fft_impl(
+            n, args.batch_size, double=args.double,
+            dealias=not args.no_dealias,
+        )
     mxu_precision = getattr(args, "mxu_precision", "high")
     # sidecar metadata pins the solver configuration of a resumable run:
     # different fft_impls agree only to the fp32 noise floor, so parts of

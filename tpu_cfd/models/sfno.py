@@ -398,9 +398,12 @@ class SFNO(nn.Module):
     latent_steps: int = 10
     output_steps: Optional[int] = None
     diam: float = 1.0
-    # precision of the spectral-conv MXU matmuls; "high" costs ~6e-5 relative
-    # error vs "highest" and is ~10% faster — fine for training
-    mxu_precision: str = "high"
+    # precision of the spectral-conv MXU matmuls. The round-3 training
+    # ladder (RESULTS.md) measured throughput FLAT across the ladder (the
+    # step is activation-traffic-bound, not MXU-bound) while lower
+    # precisions cost accuracy (bf16 "default": +32% val rel-L2), so the
+    # adopted default is "highest" — there is no speed to buy.
+    mxu_precision: str = "highest"
     # spectral-conv implementation: "dft" (compact MXU matmuls, the fast
     # path) or "fft" (rfftn/scatter/irfftn, the bit-parity reference path)
     impl: str = "dft"

@@ -26,7 +26,10 @@ Dealiasing happens the aligned way: a brick-wall mask multiply per stage
 
 Numerics: fp32 state; matmul precision selectable exactly like the XLA
 path's ``mxu_precision`` —
-  "highest": fp32 operands (Mosaic emulates fp32 matmuls on the bf16 MXU),
+  "highest": 6-pass 3-way bf16 split (XLA's BF16_6X fp32 emulation) —
+             Mosaic has no native fp32 MXU mode and demotes a plain fp32
+             jnp.dot to ONE bf16 pass, so true fp32 numerics must be
+             emulated explicitly (caught by the round-4 physics ladder),
   "high":    3-pass bf16 split (hi·hi + hi·lo + lo·hi), jax HIGH semantics;
              transform matrices are pre-split once per chunk,
   "default": single bf16 pass.
@@ -107,24 +110,43 @@ def _make_kernel(steps: int, mus, precision: str):
         lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return hi, lo
 
+    def split3(a):
+        hi = a.astype(jnp.bfloat16)
+        r = a - hi.astype(jnp.float32)
+        mid = r.astype(jnp.bfloat16)
+        lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, mid, lo
+
     def prep(a):
         if highest:
-            return (a,)
+            return split3(a)
         if three:
             return split(a)
         return (a.astype(jnp.bfloat16),)
 
     def mm(pa, pb):
+        # Mosaic demotes an fp32×fp32 jnp.dot to ONE bf16 MXU pass (there
+        # is no native f32 MXU mode), so fp32 operands must be explicitly
+        # multi-passed: "high" = 3-pass hi/lo (drops only the ~2^-16 lo·lo
+        # term), "highest" = 6-pass 3-way split (XLA's BF16_6X algorithm).
+        # Round-4 physics ladder caught the old single-fp32-dot "highest"
+        # silently computing bf16-level numerics (results/
+        # physics_ladder_r4.jsonl vs the fixed rows).
         o = jnp.dot(pa[0], pb[0], preferred_element_type=jnp.float32)
-        if three:
+        if three or highest:
             o = o + jnp.dot(pa[0], pb[1], preferred_element_type=jnp.float32)
             o = o + jnp.dot(pa[1], pb[0], preferred_element_type=jnp.float32)
+        if highest:
+            o = o + jnp.dot(pa[0], pb[2], preferred_element_type=jnp.float32)
+            o = o + jnp.dot(pa[2], pb[0], preferred_element_type=jnp.float32)
+            o = o + jnp.dot(pa[1], pb[1], preferred_element_type=jnp.float32)
         return o
 
     # transform matrices arrive PRE-SPLIT from the host (bf16 hi/lo pairs
-    # for "high", single bf16 for "default", fp32 for "highest"): the split
-    # would otherwise re-run on the VPU in every grid program (per sample)
-    per_mat = 2 if three else 1
+    # for "high", hi/mid/lo triples for "highest", single bf16 for
+    # "default"): the split would otherwise re-run on the VPU in every grid
+    # program (per sample)
+    per_mat = 3 if highest else (2 if three else 1)
 
     def kernel(dt_gammas, w_re_ref, w_im_ref, *rest):
         mats = rest[: 8 * per_mat]
@@ -272,12 +294,15 @@ def fused_rollout_aligned(
 
     def _mat_args(mname):
         a = mats[mname]
-        if precision == "highest":
-            return [jnp.asarray(a)]
         hi = a.astype(bf16)
         if precision == "default":
             return [jnp.asarray(hi)]
-        lo = (a - hi.astype(np.float32)).astype(bf16)
+        r = a - hi.astype(np.float32)
+        if precision == "highest":
+            mid = r.astype(bf16)
+            lo = (r - mid.astype(np.float32)).astype(bf16)
+            return [jnp.asarray(hi), jnp.asarray(mid), jnp.asarray(lo)]
+        lo = r.astype(bf16)
         return [jnp.asarray(hi), jnp.asarray(lo)]
 
     mat_inputs = [

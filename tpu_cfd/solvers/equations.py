@@ -190,6 +190,41 @@ class RK4CrankNicolsonStepper(IMEXStepper):
         return u
 
 
+def recommended_fft_impl(
+    grid_size: int,
+    batch_size: int = 8,
+    double: bool = False,
+    dealias: bool = True,
+) -> str:
+    """Measured-fastest solver transform for (resolution, batch) on TPU v5e.
+
+    Encodes the round-4 resolution-crossover sweep
+    (results/crossover_r4.jsonl, real chip, per-step device time from a
+    2-point scaling fit):
+
+    - The dense-DFT Galerkin block (``dft_galerkin``) beats XLA's TPU FFT
+      lowering at EVERY measured n — 3.0× at 128², 4.3× at 256², 5.4× at
+      512², 4.2× at 1024² (b8) — so the O(n³)-vs-O(n² log n) crossover sits
+      beyond the supported resolution range; there is no n at which ``fft``
+      is the right fp32 TPU default.
+    - The fused Pallas stepper (``dft_aligned_fused``) wins only at 256²
+      with large batch (25,348 vs 14,436 sample-steps/s at b128; at b8 it
+      trails galerkin 26,685 vs 30,208) and FAILS TO COMPILE at ≥512²
+      (the VMEM-resident rollout chunk does not fit). The batch threshold
+      of 32 interpolates the round-3 per-sample-step curves: galerkin
+      degrades 33→69 µs/sample-step from b8→b128 while fused stays flat at
+      ~39 µs, so they cross between b16 and b32.
+    - fp64 runs solve on CPU (no TPU f64/c128) where jnp.fft wins; runs
+      without dealiasing need ``fft`` (galerkin steps on the 2/3-rule block
+      and the fused kernel hard-codes the filter).
+    """
+    if double or not dealias:
+        return "fft"
+    if grid_size == 256 and batch_size >= 32:
+        return "dft_aligned_fused"
+    return "dft_galerkin"
+
+
 @dataclasses.dataclass
 class NavierStokes2DSpectral(ImplicitExplicitODE):
     """2-D incompressible NSE in vorticity form, pseudo-spectral (rfft2).

@@ -376,7 +376,7 @@ def get_parser() -> argparse.ArgumentParser:
                         help="fall back to --host-data when train+val arrays"
                              " exceed this size (HBM budget)")
     parser.add_argument("--double", default=False, action="store_true")
-    parser.add_argument("--mxu-precision", type=str, default="high",
+    parser.add_argument("--mxu-precision", type=str, default="highest",
                         choices=["highest", "high", "default"],
                         help="MXU precision of the spectral-conv DFT einsums"
                              " (accuracy/throughput ladder; RESULTS.md)")
