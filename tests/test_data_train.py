@@ -408,6 +408,40 @@ class TestIncrementalIO:
             "dft_aligned_fused", "dft_galerkin"
         ]
 
+    def test_fno_cli_incompatible_solver_never_defaults_fused(
+        self, tmp_path, monkeypatch
+    ):
+        """The fno dataset steps with IMEXStepper (reference data_gen
+        semantics) which the fused Pallas kernel cannot implement: the
+        resolution-aware DEFAULT must quietly fall back to dft_galerkin
+        (round-4 regression: the defaulted fused impl crashed the fnodata
+        generation stage), while an EXPLICIT --fft-impl dft_aligned_fused
+        raises a clear CLI error instead of the solver ctor's message."""
+        import json
+
+        import pytest
+
+        from tpu_cfd.data import generate
+        from tpu_cfd.solvers import equations
+
+        monkeypatch.setattr(
+            equations, "recommended_fft_impl",
+            lambda *a, **k: "dft_aligned_fused",
+        )
+        flags = ["--grid-size", "32", "--time", "0.05", "--time-warmup",
+                 "0.02", "--num-steps", "2", "--batch-size", "2",
+                 "--num-samples", "2",
+                 "--filepath", str(tmp_path), "--logpath", str(tmp_path)]
+        path = generate.main_fno(flags)
+        meta = json.load(open(str(path) + ".meta.json"))
+        assert meta["fft_impl"] == "dft_galerkin"
+
+        with pytest.raises(ValueError, match="IMEXStepper"):
+            generate.main_fno(
+                flags + ["--fft-impl", "dft_aligned_fused",
+                         "--filename", "explicit.npz"]
+            )
+
     def test_recommended_fft_impl_table(self):
         """The resolution-aware solver-impl default encodes the measured
         round-4 crossover table (results/crossover_r4.jsonl)."""

@@ -194,6 +194,13 @@ def run_generation(
     grid = grids.Grid((n, n), domain=((0, diam), (0, diam)))
     fft_impl = getattr(args, "fft_impl", None)
     fft_impl_explicit = fft_impl is not None
+    # the fused Pallas kernel bakes the low-storage RK4-CN update; dataset
+    # CLIs that step with a different integrator (the fno recipe's
+    # IMEXStepper, reference data_gen semantics) cannot run it
+    fused_ok = solver is None or (
+        isinstance(solver, RK4CrankNicolsonStepper)
+        and solver.low_storage and solver.order == 4
+    )
     if fft_impl is None:
         # resolution- and batch-aware default (round-4 crossover sweep,
         # results/crossover_r4.jsonl): dft_galerkin everywhere except the
@@ -202,6 +209,14 @@ def run_generation(
         fft_impl = equations.recommended_fft_impl(
             n, args.batch_size, double=args.double,
             dealias=not args.no_dealias,
+        )
+        if fft_impl == "dft_aligned_fused" and not fused_ok:
+            fft_impl = "dft_galerkin"
+    elif fft_impl == "dft_aligned_fused" and not fused_ok:
+        raise ValueError(
+            "--fft-impl dft_aligned_fused is incompatible with this "
+            f"dataset's time integrator ({type(solver).__name__}); the "
+            "fused kernel implements the low-storage RK4-CN stepper only"
         )
     mxu_precision = getattr(args, "mxu_precision", "high")
     # sidecar metadata pins the solver configuration of a resumable run:
