@@ -36,10 +36,19 @@ timeout 3600 python -m tpu_cfd.train.train --example fno --train-only \
 save_train_log train_fno_bf16act_r4.log
 cp -r tpu_cfd/train/models/sfno_fno_64x64_m32_w10 /tmp/ckpt_fno_bf16 || true
 
-stamp "[4/4] train fnodata fp32 scan-epoch (default) 10ep"
+stamp "[4/5] train fnodata fp32 scan-epoch (default) 10ep"
 timeout 3600 python -m tpu_cfd.train.train --example fno --train-only \
   --epochs 10 --batch-size 4 --num-samples 1152 --num-val-samples 128 \
   2>&1 | tail -3
 save_train_log train_fno_scan_r4.log
+
+stamp "[5/5] train McWilliams2d 15ep (scan-epoch default; part-1 stage 7 retry)"
+# part-1 stage 7 hung 50 min in remote_compile then broke the tunnel pipe:
+# the device-resident dataset was a closed-over jit CONSTANT (2 GiB
+# serialized into the program). pipeline.py now threads data as an argument.
+timeout 3600 python -m tpu_cfd.train.train --example McWilliams2d \
+  --train-only --epochs 15 --batch-size 4 --num-samples 1152 \
+  --num-val-samples 128 2>&1 | tail -3
+save_train_log train_mc_r4.log
 
 echo "R4 MEASUREMENT QUEUE PART 2 DONE"
