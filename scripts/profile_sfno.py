@@ -12,6 +12,7 @@ Usage: python scripts/profile_sfno.py [--widths 20,64,128] [--batches 4,32]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -42,7 +43,11 @@ def bench_one(width, batch, n=64, t_in=10, t_out=40, n_calls=8,
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
-    @jax.jit
+    # donate the carry: un-aliased params+opt held the in+out copies live
+    # simultaneously (4.25 GiB of the w128/b16 12-GiB peak — see
+    # scripts/remat_memory_r4.py), which is what actually OOM'd the round-4
+    # remat ladder at every w128 point
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(carry, x, y):
         params, opt_state = carry
 

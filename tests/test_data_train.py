@@ -580,8 +580,9 @@ class TestTrainingPipeline:
         params0 = model.init(jax.random.PRNGKey(0),
                              jnp.asarray(inp0["vorticity"]))
 
-        # host path
-        params_h = params0
+        # host path — make_train_step donates its params/opt buffers, so
+        # each path gets an independent COPY of the shared initial params
+        params_h = jax.tree.map(jnp.copy, params0)
         opt_h = opt.init(params_h)
         step = pipeline.make_train_step(model, loss_fn, opt)
         rng_h = np.random.default_rng(7)
@@ -600,7 +601,7 @@ class TestTrainingPipeline:
             model, loss_fn, opt, jnp.asarray(ds.data["vorticity"]),
             steps, out_steps,
         )
-        params_d = params0
+        params_d = jax.tree.map(jnp.copy, params0)
         opt_d = opt.init(params_d)
         rng_d = np.random.default_rng(7)
         dev_losses = []

@@ -11,6 +11,7 @@ reconstructed from the grid, never serialized).
 
 from __future__ import annotations
 
+import functools
 import os
 from pathlib import Path
 from typing import Callable, Optional
@@ -82,11 +83,20 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     normalizer=None,
     auto_layouts: bool = False,
+    donate: bool = True,
 ):
     """Returns a jitted train step: (params, opt_state, inp, target) -> ...
 
     Counterpart of reference pipeline.py:38-63 — forward → (denormalize) →
     loss → grad → clip → update, fused into one XLA program.
+
+    ``donate=True`` (default) donates the params/opt-state buffers: without
+    aliasing, a step holds params+opt TWICE (inputs and outputs both live —
+    XLA's memory analysis measured 4.25 GiB of the 12.0 GiB w128/b16 peak
+    was exactly that; scripts/remat_memory_r4.py). Step time is unchanged
+    (round-3 measurement), but the HBM headroom doubles the reachable
+    width×batch. Callers must reassign ``params, opt_state = step(...)``
+    — every in-repo caller does; on CPU donation is ignored with a warning.
 
     ``auto_layouts=True`` lets XLA choose the on-device tile layouts of the
     params/opt-state arguments and results instead of pinning them to the
@@ -118,6 +128,7 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss_val
 
+    donate_argnums = (0, 1) if donate else ()
     if auto_layouts:
         from jax.experimental.layout import Format, Layout
 
@@ -126,21 +137,26 @@ def make_train_step(
             step,
             in_shardings=(fmt, fmt, None, None),
             out_shardings=(fmt, fmt, None),
+            donate_argnums=donate_argnums,
         )
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def _window_gather(data, steps: int, out_steps: int):
+def _window_gather(steps: int, out_steps: int):
     """Device-side counterpart of ``SpatioTemporalDataset.sample_at``.
 
-    ``data``: (N, n, n, T) device array. Returns a gather(idx, starts) that
-    slices per-sample input/target windows on device — the per-batch
-    host-numpy slicing + H2D transfer of the host path becomes one gather +
-    dynamic-slice inside the compiled program.
+    Returns a gather(data, idx, starts) that slices per-sample input/target
+    windows on device — the per-batch host-numpy slicing + H2D transfer of
+    the host path becomes one gather + dynamic-slice inside the compiled
+    program. ``data`` ((N, n, n, T), device-resident) is an ARGUMENT, not a
+    closure capture: a closed-over device array becomes a jit CONSTANT that
+    is serialized into the program — a multi-GiB dataset embedded that way
+    broke the remote compiler on this backend (50-min hang, then transport
+    Broken pipe; round-4 stage-7 postmortem, logs/r4_measure.log).
     """
     window = steps + out_steps
 
-    def gather(idx, starts):
+    def gather(data, idx, starts):
         batch = jnp.take(data, idx, axis=0)  # (b, n, n, T)
         win = jax.vmap(
             lambda a, s: jax.lax.dynamic_slice_in_dim(a, s, window, axis=-1)
@@ -193,14 +209,18 @@ def make_scan_epoch(
 
     Returns ``run_epoch(params, opt_state, idx, starts) ->
     (params, opt_state, losses)``; params/opt_state buffers are donated.
+    ``data`` is device_put once here and threaded into the jitted program as
+    an argument on every call (zero-copy for a committed array) — see
+    ``_window_gather`` for why it must never be a closure constant.
     """
-    gather = _window_gather(data, steps, out_steps)
+    data = jnp.asarray(data)
+    gather = _window_gather(steps, out_steps)
     constrain = _batch_constraint(mesh)
 
-    def one_step(carry, xs):
+    def one_step(data, carry, xs):
         params, opt_state = carry
         idx, starts = xs
-        inp, target = gather(idx, starts)
+        inp, target = gather(data, idx, starts)
         inp, target = constrain(inp), constrain(target)
 
         def loss(p):
@@ -218,13 +238,19 @@ def make_scan_epoch(
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss_val
 
-    def run_epoch(params, opt_state, idx, starts):
+    def run_epoch(data, params, opt_state, idx, starts):
         (params, opt_state), losses = jax.lax.scan(
-            one_step, (params, opt_state), (idx, starts)
+            functools.partial(one_step, data), (params, opt_state),
+            (idx, starts)
         )
         return params, opt_state, losses
 
-    return jax.jit(run_epoch, donate_argnums=(0, 1))
+    jitted = jax.jit(run_epoch, donate_argnums=(1, 2))
+
+    def run(params, opt_state, idx, starts):
+        return jitted(data, params, opt_state, idx, starts)
+
+    return run
 
 
 def make_scan_eval(
@@ -239,15 +265,17 @@ def make_scan_eval(
     """Whole-val-set eval as one jitted scan over device-resident data.
 
     Returns ``run_eval(params, idx, starts) -> mean metric`` matching
-    ``eval_epoch`` fed the same (idx, starts).
+    ``eval_epoch`` fed the same (idx, starts). ``data`` is threaded as a
+    jit argument, never a closure constant (see ``_window_gather``).
     """
-    gather = _window_gather(data, steps, out_steps)
+    data = jnp.asarray(data)
+    gather = _window_gather(steps, out_steps)
     constrain = _batch_constraint(mesh)
 
-    def run_eval(params, idx, starts):
+    def run_eval(data, params, idx, starts):
         def one(_, xs):
             i, s = xs
-            inp, target = gather(i, s)
+            inp, target = gather(data, i, s)
             inp, target = constrain(inp), constrain(target)
             out = model.apply(params, inp, out_steps=model_out_steps)
             return None, metric_fn(out, target)
@@ -255,7 +283,12 @@ def make_scan_eval(
         _, metrics = jax.lax.scan(one, None, (idx, starts))
         return metrics.mean()
 
-    return jax.jit(run_eval)
+    jitted = jax.jit(run_eval)
+
+    def run(params, idx, starts):
+        return jitted(data, params, idx, starts)
+
+    return run
 
 
 def make_eval_step(model, metric_fn: Callable, out_steps: Optional[int] = None):
