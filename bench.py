@@ -313,6 +313,10 @@ def main():
     t4 = bench_sfno_train(trace_dir=trace_dir, n_calls=sfno_kw_calls, **sfno_kw)
     t32 = bench_sfno_train(batch=b32, n_calls=b32_calls, **sfno_kw)
     t4_bf16 = bench_sfno_train(compute_dtype="bfloat16", n_calls=sfno_kw_calls, **sfno_kw)
+    # the training operating point (round-4 opt-layout sweep): bf16
+    # activations only pay at real batch — +20% at b32, ~0 at b4
+    t32_bf16 = bench_sfno_train(batch=b32, compute_dtype="bfloat16",
+                                n_calls=b32_calls, **sfno_kw)
     try:
         pipe_kw = dict(n=sfno_kw.get("n", 64), t_in=sfno_kw.get("t_in", 10),
                        t_out=sfno_kw.get("t_out", 40))
@@ -359,6 +363,8 @@ def main():
                 t32["samples_per_s"], 2),
             "sfno_train_bf16_act_samples_per_s_per_chip": round(
                 t4_bf16["samples_per_s"], 2),
+            "sfno_train_b32_bf16_samples_per_s_per_chip": round(
+                t32_bf16["samples_per_s"], 2),
             "sfno_train_pipeline_samples_per_s_per_chip": round(
                 tpipe["samples_per_s"], 2),
             **({"sfno_train_pipeline_error": tpipe["error"]}
