@@ -557,6 +557,39 @@ class TestTrainingPipeline:
         # epoch average must still trend down
         assert epoch_means[-1] < epoch_means[0], epoch_means
 
+    def test_train_step_donation_contract(self):
+        """make_train_step donates its params/opt-state buffers by default
+        (the measured HBM-headroom lever — RESULTS.md round 4); callers
+        must reassign. donate=False preserves the inputs for callers that
+        need to hold onto them."""
+        from tpu_cfd.models import SFNO
+        from tpu_cfd.train import losses, pipeline
+
+        n, steps, out_steps = 8, 2, 2
+        model = SFNO(modes_x=2, modes_y=2, modes_t=2, width=4,
+                     latent_steps=2, num_spectral_layers=2,
+                     output_steps=out_steps)
+        x = jnp.zeros((2, n, n, steps), jnp.float32)
+        y = jnp.zeros((2, n, n, out_steps), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        loss_fn = losses.SobolevLoss(n_grid=n, norm_order=0, relative=True)
+        opt = pipeline.get_optimizer("Adam", 1e-3)
+        opt_state = opt.init(params)
+
+        keep = pipeline.make_train_step(model, loss_fn, opt, donate=False)
+        p1, o1, _ = keep(params, opt_state, x, y)
+        # inputs must still be readable after a donate=False step
+        np.asarray(jax.tree_util.tree_leaves(params)[0])
+
+        donating = pipeline.make_train_step(model, loss_fn, opt)
+        p2, o2, _ = donating(params, opt_state, x, y)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the donated input buffers are consumed
+        assert any(a.is_deleted()
+                   for a in jax.tree_util.tree_leaves(params))
+
     def test_scan_epoch_matches_host_loop(self):
         """The device-resident scan-per-epoch path produces the same params,
         losses, and val metric as the host-driven batch loop fed the same
