@@ -23,9 +23,9 @@ timeout 10800 python examples/ex2_sfno_finetune.py --example McWilliams2d \
   > logs/finetune_mc_r4.log 2>&1 || true
 tail -5 logs/finetune_mc_r4.log
 
-stamp "[3/4] McWilliams high-res eval phase (256^2 fp64, 16 samples)"
+stamp "[3/4] McWilliams high-res eval phase (256^2 fp64, 16 samples, T_start=50)"
 timeout 7200 python -m tpu_cfd.train.train --example McWilliams2d \
-  --eval-only --double 2>&1 | tail -6 || true
+  --eval-only --double --test-t-start 50 2>&1 | tail -6 || true
 cp "$(ls -t tpu_cfd/train/logs/*_train.log | head -1)" logs/eval_mc_256_r4.log || true
 
 stamp "[4/4] fnodata 256^2 zero-shot eval (4 fp64 samples available)"
