@@ -152,11 +152,15 @@ def main(argv=None):
         a_np, u_np = inp["vorticity"], out["vorticity"]
         inp, out = test_ds.sample(np.arange(len(test_ds)))
         at_np, ut_np = inp["vorticity"], out["vorticity"]
+    # The dataset arrays are jit ARGUMENTS, never closed over: a closed-over
+    # device array becomes a constant serialized into the HLO, and a ~1 GiB
+    # constant overflows the remote-compile transport (HTTP 413) — see
+    # pipeline.make_scan_epoch, which threads the dataset the same way.
     A, U = jnp.asarray(a_np), jnp.asarray(u_np)
     At, Ut = jnp.asarray(at_np), jnp.asarray(ut_np)
 
     @jax.jit
-    def run_epoch(params, opt_state, order):
+    def run_epoch(params, opt_state, order, A, U):
         def one(carry, idx):
             params, opt_state = carry
             a, u = jnp.take(A, idx, axis=0), jnp.take(U, idx, axis=0)
@@ -173,7 +177,7 @@ def main(argv=None):
         return params, opt_state, ls
 
     @jax.jit
-    def run_eval(params):
+    def run_eval(params, At, Ut):
         def one(_, au):
             a, u = au
             out, _ = model.apply(params, make_fno3d_input(a[None], T))
@@ -188,9 +192,9 @@ def main(argv=None):
         order = rng.permutation(len(train_ds))
         order = order[: nb * args.batch_size].reshape(nb, args.batch_size)
         params, opt_state, ls = run_epoch(
-            params, opt_state, jnp.asarray(order.astype(np.int32))
+            params, opt_state, jnp.asarray(order.astype(np.int32)), A, U
         )
-        test_l2 = float(run_eval(params))
+        test_l2 = float(run_eval(params, At, Ut))
         print(
             f"Epoch {ep + 1:2d}/{args.epochs} | train rel L2:"
             f" {float(ls.mean()):.5e} | test rel L2: {test_l2:.5e}"

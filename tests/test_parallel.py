@@ -236,6 +236,72 @@ class TestDataGenDataParallel:
                     err_msg=f"field {k} differs under --data-parallel",
                 )
 
+    def test_defaulted_fused_indivisible_batch_falls_back(
+        self, tmp_path, monkeypatch
+    ):
+        """When the resolution-aware DEFAULT resolves to the fused Pallas
+        stepper but the --data-parallel batch does not divide the device
+        axis, generation must fall back to dft_galerkin AND repin the
+        sidecar to the impl actually used (generate.py fallback branch) —
+        a stale fused pin would let a later resume silently mix impls."""
+        import json
+
+        from tpu_cfd.data import generate
+
+        # force the default to pick fused at a CPU-testable size (the real
+        # default only selects it at 256²/batch>=32)
+        monkeypatch.setattr(
+            generate.equations,
+            "recommended_fft_impl",
+            lambda *a, **k: "dft_aligned_fused",
+        )
+        p = generate.main_mcwilliams([
+            "--grid-size", "32", "--num-samples", "4", "--batch-size", "4",
+            "--time", "0.03", "--time-warmup", "0.01", "--dt", "1e-3",
+            "--num-steps", "2", "--data-parallel",
+            "--filepath", str(tmp_path), "--filename", "fallback.npz",
+        ])
+        with open(str(p) + ".meta.json") as f:
+            meta = json.load(f)
+        assert meta["fft_impl"] == "dft_galerkin"
+        # fresh run: repinned, not mixed — no sample ever ran fused
+        assert "mixed_fft_impls" not in meta
+        with np.load(p) as z:
+            assert z["vorticity"].shape[0] == 4
+
+    @pytest.mark.slow
+    def test_resumed_fused_fallback_records_mixed_impls(self, tmp_path):
+        """Resuming a fused-pinned dataset under --data-parallel with an
+        indivisible batch warns and records the impl mix in the sidecar
+        instead of silently leaving the stale fused pin (ADVICE r3)."""
+        import json
+
+        from tpu_cfd.data import generate
+
+        common = [
+            "--grid-size", "32", "--batch-size", "4",
+            "--time", "0.03", "--time-warmup", "0.01", "--dt", "1e-3",
+            "--num-steps", "2",
+            "--filepath", str(tmp_path), "--filename", "mixed.npz",
+        ]
+        # first half: explicit fused, single device (no divisibility rule)
+        generate.main_mcwilliams(
+            common + ["--num-samples", "4", "--fft-impl", "dft_aligned_fused"]
+        )
+        # resume with the DEFAULTED impl (adopts the recorded fused pin),
+        # data-parallel: batch 4 cannot divide the 8-device axis -> fallback
+        p = generate.main_mcwilliams(
+            common + ["--num-samples", "8", "--data-parallel"]
+        )
+        with open(str(p) + ".meta.json") as f:
+            meta = json.load(f)
+        assert meta["fft_impl"] == "dft_galerkin"
+        assert set(meta["mixed_fft_impls"]) == {
+            "dft_aligned_fused", "dft_galerkin"
+        }
+        with np.load(p) as z:
+            assert z["vorticity"].shape[0] == 8
+
 
 class TestSpatialSharding:
     def test_pencil_sharded_solver_step_equals_replicated(self, mesh):
