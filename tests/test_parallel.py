@@ -302,6 +302,67 @@ class TestDataGenDataParallel:
         with np.load(p) as z:
             assert z["vorticity"].shape[0] == 8
 
+    @pytest.mark.slow
+    def test_resumed_incompatible_fused_pin_falls_back(self, tmp_path):
+        """Resuming a fused-pinned dataset under a configuration the fused
+        kernel cannot run (--double is fp32-only) must not crash in the
+        solver constructor: the defaulted resume keeps its compatible
+        default, warns, and records the impl mix in the sidecar."""
+        import json
+
+        from tpu_cfd.data import generate
+
+        common = [
+            "--grid-size", "32", "--batch-size", "4",
+            "--time", "0.03", "--time-warmup", "0.01", "--dt", "1e-3",
+            "--num-steps", "2",
+            "--filepath", str(tmp_path), "--filename", "incompat.npz",
+        ]
+        generate.main_mcwilliams(
+            common + ["--num-samples", "4", "--fft-impl", "dft_aligned_fused"]
+        )
+        # defaulted resume under --double: the fused pin is fp32-only, so
+        # adoption must fall back to the run's own default (fft for fp64)
+        p = generate.main_mcwilliams(
+            common + ["--num-samples", "8", "--double"]
+        )
+        with open(str(p) + ".meta.json") as f:
+            meta = json.load(f)
+        assert meta["fft_impl"] == "fft"
+        assert set(meta["mixed_fft_impls"]) == {"dft_aligned_fused", "fft"}
+        with np.load(p) as z:
+            assert z["vorticity"].shape[0] == 8
+
+    @pytest.mark.slow
+    def test_resumed_explicit_impl_mix_repins_sidecar(self, tmp_path):
+        """An explicit --fft-impl resume over a different recorded pin must
+        repin the sidecar to the impl actually used and record the mix —
+        a stale pin would misdescribe the newest samples (code review r4)."""
+        import json
+
+        from tpu_cfd.data import generate
+
+        common = [
+            "--grid-size", "32", "--batch-size", "4",
+            "--time", "0.03", "--time-warmup", "0.01", "--dt", "1e-3",
+            "--num-steps", "2",
+            "--filepath", str(tmp_path), "--filename", "explicit_mix.npz",
+        ]
+        generate.main_mcwilliams(
+            common + ["--num-samples", "4", "--fft-impl", "dft_galerkin"]
+        )
+        p = generate.main_mcwilliams(
+            common + ["--num-samples", "8", "--fft-impl", "dft_aligned"]
+        )
+        with open(str(p) + ".meta.json") as f:
+            meta = json.load(f)
+        assert meta["fft_impl"] == "dft_aligned"
+        assert set(meta["mixed_fft_impls"]) == {
+            "dft_galerkin", "dft_aligned"
+        }
+        with np.load(p) as z:
+            assert z["vorticity"].shape[0] == 8
+
 
 class TestSpatialSharding:
     def test_pencil_sharded_solver_step_equals_replicated(self, mesh):

@@ -120,7 +120,12 @@ def get_args_ns2d(desc: str = "NSE 2D data generation") -> argparse.ArgumentPars
                    help="solver transform implementation; default picks "
                         "dense-DFT MXU matmuls restricted to the 2/3-rule "
                         "dealiasing block (dft_galerkin — exact for "
-                        "dealiased states, smallest transform cost) and "
+                        "dealiased states, smallest transform cost), "
+                        "except dft_aligned_fused at 256^2 with batch>=32 "
+                        "(the measured fused-kernel win; RK4-CN-only, and "
+                        "under --data-parallel it needs batches divisible "
+                        "by the device count, else it falls back to "
+                        "dft_galerkin) and "
                         "jnp.fft for --double runs (fp64 solves on CPU, "
                         "where the FFT wins); dft_galerkin requires "
                         "dealiasing on (no --no-dealias); dft_aligned_fused "

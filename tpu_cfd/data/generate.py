@@ -26,6 +26,7 @@ keeps the stored dataset device-count-invariant up to fp32 reduction order.
 from __future__ import annotations
 
 import functools
+import json
 import math
 import os
 import sys
@@ -123,6 +124,35 @@ def make_batch_pipeline(
         return result
 
     return pipeline
+
+
+def _read_meta(meta_path: str) -> dict:
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
+
+
+def _write_meta(meta_path: str, meta: dict) -> None:
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+
+def _repin_meta(meta_path: str, new_impl: str, *, record_mix: bool) -> None:
+    """Rewrite the sidecar's ``fft_impl`` pin to the impl actually in use.
+
+    With ``record_mix``, a previous, different pin is folded into
+    ``mixed_fft_impls`` so later resumes can see the dataset is not pure —
+    the sidecar invariant is truthfulness, not purity. Every pin update in
+    this module goes through this helper so the semantics live in one place.
+    """
+    meta = _read_meta(meta_path)
+    old = meta.get("fft_impl")
+    if record_mix and old and old != new_impl:
+        mixed = set(meta.get("mixed_fft_impls", [])) | {old, new_impl}
+        meta["mixed_fft_impls"] = sorted(mixed)
+    meta["fft_impl"] = new_impl
+    _write_meta(meta_path, meta)
 
 
 def run_generation(
@@ -225,10 +255,7 @@ def run_generation(
     # between framework versions)
     meta_path = data_filepath + ".meta.json"
     if existing > 0 and os.path.exists(meta_path):
-        import json as _json
-
-        with open(meta_path) as f:
-            meta = _json.load(f)
+        meta = _read_meta(meta_path)
         rec_impl = meta.get("fft_impl")
         rec_prec = meta.get("mxu_precision")
         if rec_impl and rec_impl != fft_impl:
@@ -238,6 +265,23 @@ def run_generation(
                     f"but existing samples were generated with {rec_impl}; "
                     "the dataset will mix transform implementations"
                 )
+                # keep the pin truthful: record the mix and repin to the
+                # impl the remaining samples will actually use
+                _repin_meta(meta_path, fft_impl, record_mix=True)
+            elif rec_impl == "dft_aligned_fused" and not (
+                fused_ok and not args.double and not args.no_dealias
+            ):
+                # the recorded pin cannot run under this configuration
+                # (wrong integrator, --double, or --no-dealias): adopting
+                # it blindly would crash in the solver constructor, so
+                # keep the already-computed compatible default instead
+                logger.warning(
+                    f"resume: recorded fft_impl={rec_impl} is incompatible "
+                    "with this run's integrator/precision/dealias settings; "
+                    f"continuing with {fft_impl} — the dataset will mix "
+                    "transform implementations"
+                )
+                _repin_meta(meta_path, fft_impl, record_mix=True)
             else:
                 logger.info(
                     f"resume: adopting recorded fft_impl={rec_impl} "
@@ -247,14 +291,12 @@ def run_generation(
                 if rec_prec:
                     mxu_precision = rec_prec
     elif existing == 0:
-        import json as _json
-
-        with open(meta_path, "w") as f:
-            _json.dump(
-                {"fft_impl": fft_impl, "mxu_precision": mxu_precision,
-                 "dt": dt, "visc": visc, "seed": args.seed,
-                 "double": bool(args.double),
-                 "dealias": not args.no_dealias}, f)
+        _write_meta(
+            meta_path,
+            {"fft_impl": fft_impl, "mxu_precision": mxu_precision,
+             "dt": dt, "visc": visc, "seed": args.seed,
+             "double": bool(args.double),
+             "dealias": not args.no_dealias})
     fused = fft_impl == "dft_aligned_fused"
     mesh = None
     if getattr(args, "data_parallel", False):
@@ -305,25 +347,12 @@ def run_generation(
                     )
                 else:
                     logger.info(msg)
-                prev_impl = fft_impl
                 fft_impl = "dft_galerkin"
                 fused = False
                 # keep the sidecar pin truthful in BOTH cases: fresh runs
                 # repin to the impl actually used; resumed runs addition-
                 # ally record the mix so later resumes can see it
-                import json as _json
-
-                meta = {}
-                if os.path.exists(meta_path):
-                    with open(meta_path) as f:
-                        meta = _json.load(f)
-                if existing > 0 and meta.get("fft_impl", prev_impl) != fft_impl:
-                    mixed = set(meta.get("mixed_fft_impls", []))
-                    mixed |= {meta.get("fft_impl", prev_impl), fft_impl}
-                    meta["mixed_fft_impls"] = sorted(mixed)
-                meta["fft_impl"] = fft_impl
-                with open(meta_path, "w") as f:
-                    _json.dump(meta, f)
+                _repin_meta(meta_path, fft_impl, record_mix=existing > 0)
     ns2d = NavierStokes2DSpectral(
         viscosity=visc,
         grid=grid,

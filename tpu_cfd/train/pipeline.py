@@ -96,7 +96,10 @@ def make_train_step(
     was exactly that; scripts/remat_memory_r4.py). Step time is unchanged
     (round-3 measurement), but the HBM headroom doubles the reachable
     width×batch. Callers must reassign ``params, opt_state = step(...)``
-    — every in-repo caller does; on CPU donation is ignored with a warning.
+    — every in-repo caller does. Donation is honored on CPU too (the
+    donated inputs read as deleted; tests/test_data_train.py's
+    donation-contract test asserts it), so the contract is identical on
+    every backend.
 
     ``auto_layouts=True`` lets XLA choose the on-device tile layouts of the
     params/opt-state arguments and results instead of pinning them to the
