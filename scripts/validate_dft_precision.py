@@ -70,6 +70,8 @@ def main():
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--spectrum-steps", type=int, default=2000)
+    ap.add_argument("--impls", default=None,
+                    help="comma-separated impl filter (default: all)")
     args = ap.parse_args()
 
     grid = grids.Grid(
@@ -95,6 +97,9 @@ def main():
         ("dft_aligned_fused", "highest"),
         ("dft_aligned_fused", "high"),
     ]
+    if args.impls:
+        keep = set(args.impls.split(","))
+        configs = [c for c in configs if c[0] in keep]
     ref = {}
     for steps in (1, 100, args.spectrum_steps):
         ref[steps] = rollout("fft", "highest", what0, grid, steps)

@@ -326,6 +326,18 @@ def fused_rollout_aligned(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
 
+    # Mosaic's default scoped-VMEM (kernel stack) limit is 16 MiB — enough
+    # for the ≤256² working set but not the 30.3 MiB the batched transforms
+    # need at 512² (results/crossover_r4.jsonl.log). v5e has 128 MiB VMEM;
+    # raising the limit for n>256 makes 512² compile without touching the
+    # measured ≤256² operating points. 1024² genuinely exceeds capacity
+    # (191.8 MiB program requirement) and stays on the XLA galerkin path.
+    compiler_params = None
+    if n > 256:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+
     # ~30 real matmuls of 2·n·n·m flops per stage, 5 stages, per step
     flops_per_sample = 30 * (2 * n * n * m) * 5 * steps
     out_re, out_im = pl.pallas_call(
@@ -349,6 +361,7 @@ def fused_rollout_aligned(
             bytes_accessed=b * (4 * n * m * 4),
             transcendentals=0,
         ),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(
         jnp.real(w), jnp.imag(w), *mat_inputs,

@@ -209,11 +209,15 @@ def recommended_fft_impl(
       is the right fp32 TPU default.
     - The fused Pallas stepper (``dft_aligned_fused``) wins only at 256²
       with large batch (25,348 vs 14,436 sample-steps/s at b128; at b8 it
-      trails galerkin 26,685 vs 30,208) and FAILS TO COMPILE at ≥512²
-      (the VMEM-resident rollout chunk does not fit). The batch threshold
+      trails galerkin 26,685 vs 30,208). The batch threshold
       of 32 interpolates the round-3 per-sample-step curves: galerkin
       degrades 33→69 µs/sample-step from b8→b128 while fused stays flat at
-      ~39 µs, so they cross between b16 and b32.
+      ~39 µs, so they cross between b16 and b32. At 512² the kernel
+      compiles under a raised 100 MiB scoped-VMEM limit (round 5,
+      results/crossover_r5.jsonl) but loses to galerkin at b8 (3,128 vs
+      4,556 sample-steps/s) and ties at b64 (3,164 vs 3,121), so galerkin
+      stays the 512² default; 1024² exceeds VMEM capacity outright
+      (191.8 MiB program requirement) and cannot compile.
     - fp64 runs solve on CPU (no TPU f64/c128) where jnp.fft wins; runs
       without dealiasing need ``fft`` (galerkin steps on the 2/3-rule block
       and the fused kernel hard-codes the filter).
