@@ -23,8 +23,11 @@ import optax
 
 SRC_ROOT = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(os.path.dirname(SRC_ROOT))
-MODEL_PATH = os.environ.get("MODEL_PATH", os.path.join(SRC_ROOT, "models"))
-LOG_PATH = os.environ.get("LOG_PATH", os.path.join(SRC_ROOT, "logs"))
+# Run artifacts default OUTSIDE the importable package (repo-root models/
+# and logs/, both gitignored for generated files) so training runs never
+# dirty the tree or bloat an sdist/wheel.
+MODEL_PATH = os.environ.get("MODEL_PATH", os.path.join(ROOT, "models"))
+LOG_PATH = os.environ.get("LOG_PATH", os.path.join(ROOT, "logs"))
 DATA_PATH = os.environ.get("DATA_PATH", os.path.join(ROOT, "data"))
 FIG_PATH = os.environ.get("FIG_PATH", os.path.join(ROOT, "figures"))
 
