@@ -363,6 +363,105 @@ class TestDataGenDataParallel:
         with np.load(p) as z:
             assert z["vorticity"].shape[0] == 8
 
+    @pytest.mark.slow
+    def test_resumed_incompatible_galerkin_pin_falls_back(self, tmp_path):
+        """Resuming a dft_galerkin-pinned dataset with --no-dealias must not
+        crash in the solver constructor (dft_galerkin steps on the 2/3-rule
+        support): the defaulted resume keeps its compatible default, warns,
+        and records the impl mix (ADVICE r4)."""
+        import json
+
+        from tpu_cfd.data import generate
+
+        common = [
+            "--grid-size", "32", "--batch-size", "4",
+            "--time", "0.03", "--time-warmup", "0.01", "--dt", "1e-3",
+            "--num-steps", "2",
+            "--filepath", str(tmp_path), "--filename", "galerkin_pin.npz",
+        ]
+        generate.main_mcwilliams(
+            common + ["--num-samples", "4", "--fft-impl", "dft_galerkin"]
+        )
+        p = generate.main_mcwilliams(
+            common + ["--num-samples", "8", "--no-dealias"]
+        )
+        with open(str(p) + ".meta.json") as f:
+            meta = json.load(f)
+        assert meta["fft_impl"] != "dft_galerkin"
+        assert "dft_galerkin" in meta["mixed_fft_impls"]
+        with np.load(p) as z:
+            assert z["vorticity"].shape[0] == 8
+
+    @pytest.mark.slow
+    def test_aborted_resume_leaves_sidecar_untouched(self, tmp_path):
+        """An explicit --fft-impl resume that dies in pre-generation
+        validation (fused + --data-parallel divisibility) must leave the
+        sidecar exactly as it was: sidecar writes are deferred until a
+        sample is actually about to be generated (ADVICE r4)."""
+        import json
+
+        from tpu_cfd.data import generate
+
+        common = [
+            "--grid-size", "32", "--batch-size", "4",
+            "--time", "0.03", "--time-warmup", "0.01", "--dt", "1e-3",
+            "--num-steps", "2",
+            "--filepath", str(tmp_path), "--filename", "aborted.npz",
+        ]
+        p = generate.main_mcwilliams(
+            common + ["--num-samples", "4", "--fft-impl", "dft_galerkin"]
+        )
+        with open(str(p) + ".meta.json") as f:
+            before = json.load(f)
+        # batch 4 cannot divide the 8-device axis: explicit fused raises
+        with pytest.raises(ValueError, match="divisible"):
+            generate.main_mcwilliams(
+                common + [
+                    "--num-samples", "8", "--data-parallel",
+                    "--fft-impl", "dft_aligned_fused",
+                ]
+            )
+        with open(str(p) + ".meta.json") as f:
+            after = json.load(f)
+        assert after == before
+
+    @pytest.mark.slow
+    def test_legacy_resume_repin_writes_full_schema(self, tmp_path):
+        """A repin that CREATES the sidecar (legacy dataset with samples but
+        no sidecar file) must record the full schema — dt/visc/seed/double/
+        dealias — not a bare fft_impl pin (ADVICE r4)."""
+        import json
+        import os
+
+        from tpu_cfd.data import generate
+
+        common = [
+            "--grid-size", "32", "--batch-size", "4",
+            "--time", "0.03", "--time-warmup", "0.01", "--dt", "1e-3",
+            "--num-steps", "2",
+            "--filepath", str(tmp_path), "--filename", "legacy.npz",
+        ]
+        p = generate.main_mcwilliams(common + ["--num-samples", "4"])
+        os.remove(str(p) + ".meta.json")  # simulate a pre-sidecar dataset
+        # defaulted fused resume, data-parallel, indivisible batch -> the
+        # fallback branch repins; with no sidecar this CREATES the file
+        import unittest.mock as mock
+
+        with mock.patch.object(
+            generate.equations,
+            "recommended_fft_impl",
+            lambda *a, **k: "dft_aligned_fused",
+        ):
+            p = generate.main_mcwilliams(
+                common + ["--num-samples", "8", "--data-parallel"]
+            )
+        with open(str(p) + ".meta.json") as f:
+            meta = json.load(f)
+        assert meta["fft_impl"] == "dft_galerkin"
+        for key in ("dt", "visc", "seed", "double", "dealias",
+                    "mxu_precision"):
+            assert key in meta, f"legacy repin sidecar missing {key!r}"
+
 
 class TestSpatialSharding:
     def test_pencil_sharded_solver_step_equals_replicated(self, mesh):

@@ -138,15 +138,23 @@ def _write_meta(meta_path: str, meta: dict) -> None:
         json.dump(meta, f)
 
 
-def _repin_meta(meta_path: str, new_impl: str, *, record_mix: bool) -> None:
+def _repin_meta(
+    meta_path: str, new_impl: str, *, record_mix: bool, base: dict | None = None
+) -> None:
     """Rewrite the sidecar's ``fft_impl`` pin to the impl actually in use.
 
     With ``record_mix``, a previous, different pin is folded into
     ``mixed_fft_impls`` so later resumes can see the dataset is not pure —
     the sidecar invariant is truthfulness, not purity. Every pin update in
     this module goes through this helper so the semantics live in one place.
+    ``base`` seeds the full sidecar schema (dt/visc/seed/double/dealias/...)
+    when the file is missing or empty — a legacy resumed dataset has no
+    sidecar, and a bare ``{"fft_impl": ...}`` pin would leave later resumes
+    a structurally incomplete record.
     """
     meta = _read_meta(meta_path)
+    if not meta and base:
+        meta = dict(base)
     old = meta.get("fft_impl")
     if record_mix and old and old != new_impl:
         mixed = set(meta.get("mixed_fft_impls", [])) | {old, new_impl}
@@ -204,6 +212,9 @@ def run_generation(
             f"_v{visc:.0e}_T{int(T)}_steps{record_steps}.npz"
         ).replace("e-0", "e-")
     data_filepath = os.path.join(filepath, args.filename)
+    # sidecar metadata pins the solver configuration of a resumable run
+    # (see the resume block below)
+    meta_path = data_filepath + ".meta.json"
 
     logger = logger or data_utils.get_logger()
     logger.info(" | ".join(f"{k}={v}" for k, v in vars(args).items()))
@@ -216,6 +227,8 @@ def run_generation(
             return data_filepath
     elif args.force_rerun and os.path.exists(data_filepath):
         os.remove(data_filepath)
+        if os.path.exists(meta_path):  # stale pin from the discarded run
+            os.remove(meta_path)
     existing = max(existing, data_utils.count_existing_samples(data_filepath))
     if existing >= args.num_samples:
         data_utils.merge_parts(data_filepath)
@@ -249,11 +262,31 @@ def run_generation(
             "fused kernel implements the low-storage RK4-CN stepper only"
         )
     mxu_precision = getattr(args, "mxu_precision", "high")
+
+    def _impl_compatible(impl: str) -> bool:
+        """Can ``impl`` run under this invocation's solver configuration?
+
+        Mirrors the constructor constraints in
+        ``equations.NavierStokes2DSpectral.__post_init__``: the fused
+        stepper bakes the low-storage RK4-CN update, fp32, and the 2/3-rule
+        support; ``dft_galerkin`` steps on the dealiasing support and needs
+        ``smooth=True``. Adopting an incompatible recorded pin would crash
+        in the constructor instead of falling back with a warning.
+        """
+        if impl == "dft_aligned_fused":
+            return fused_ok and not args.double and not args.no_dealias
+        if impl == "dft_galerkin":
+            return not args.no_dealias
+        return True
+
     # sidecar metadata pins the solver configuration of a resumable run:
     # different fft_impls agree only to the fp32 noise floor, so parts of
     # one dataset must never mix them silently (the default impl can change
-    # between framework versions)
-    meta_path = data_filepath + ".meta.json"
+    # between framework versions). All sidecar WRITES are deferred until
+    # every pre-generation validation has passed (just before the batch
+    # loop): an invocation that dies in an argument check must not leave
+    # the pin pointing at an impl that generated zero samples.
+    sidecar_needs_repin = False
     if existing > 0 and os.path.exists(meta_path):
         meta = _read_meta(meta_path)
         rec_impl = meta.get("fft_impl")
@@ -267,10 +300,8 @@ def run_generation(
                 )
                 # keep the pin truthful: record the mix and repin to the
                 # impl the remaining samples will actually use
-                _repin_meta(meta_path, fft_impl, record_mix=True)
-            elif rec_impl == "dft_aligned_fused" and not (
-                fused_ok and not args.double and not args.no_dealias
-            ):
+                sidecar_needs_repin = True
+            elif not _impl_compatible(rec_impl):
                 # the recorded pin cannot run under this configuration
                 # (wrong integrator, --double, or --no-dealias): adopting
                 # it blindly would crash in the solver constructor, so
@@ -281,7 +312,7 @@ def run_generation(
                     f"continuing with {fft_impl} — the dataset will mix "
                     "transform implementations"
                 )
-                _repin_meta(meta_path, fft_impl, record_mix=True)
+                sidecar_needs_repin = True
             else:
                 logger.info(
                     f"resume: adopting recorded fft_impl={rec_impl} "
@@ -290,13 +321,6 @@ def run_generation(
                 fft_impl = rec_impl
                 if rec_prec:
                     mxu_precision = rec_prec
-    elif existing == 0:
-        _write_meta(
-            meta_path,
-            {"fft_impl": fft_impl, "mxu_precision": mxu_precision,
-             "dt": dt, "visc": visc, "seed": args.seed,
-             "double": bool(args.double),
-             "dealias": not args.no_dealias})
     fused = fft_impl == "dft_aligned_fused"
     mesh = None
     if getattr(args, "data_parallel", False):
@@ -349,10 +373,9 @@ def run_generation(
                     logger.info(msg)
                 fft_impl = "dft_galerkin"
                 fused = False
-                # keep the sidecar pin truthful in BOTH cases: fresh runs
-                # repin to the impl actually used; resumed runs addition-
-                # ally record the mix so later resumes can see it
-                _repin_meta(meta_path, fft_impl, record_mix=existing > 0)
+                # the deferred sidecar flush below pins the impl actually
+                # used; for resumed runs it additionally records the mix
+                sidecar_needs_repin = existing > 0
     ns2d = NavierStokes2DSpectral(
         viscosity=visc,
         grid=grid,
@@ -382,6 +405,22 @@ def run_generation(
     make_ic_jit = jax.jit(
         lambda keys: make_initial_vorticity(keys, grid, compute_dtype)
     )
+
+    # deferred sidecar flush: every pre-generation validation has passed
+    # (argument checks, solver constructor, pipeline construction), so the
+    # pin now records an impl that is actually about to generate samples
+    meta_now = {
+        "fft_impl": fft_impl, "mxu_precision": mxu_precision,
+        "dt": dt, "visc": visc, "seed": args.seed,
+        "double": bool(args.double), "dealias": not args.no_dealias,
+    }
+    if existing == 0:
+        _write_meta(meta_path, meta_now)
+    elif sidecar_needs_repin:
+        # base= populates the full schema when a legacy resumed dataset has
+        # no sidecar yet; record_mix folds a different prior pin into
+        # mixed_fft_impls (no-op when the prior pin is absent or identical)
+        _repin_meta(meta_path, fft_impl, record_mix=True, base=meta_now)
 
     base_key = jax.random.PRNGKey(args.seed)
     batch_size = args.batch_size
