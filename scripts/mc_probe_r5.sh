@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-5: recipe probes for the McWilliams 256² zero-shot contract row
+# (VERDICT r4 next-step 1b: "beat it outright ... try longer training or
+# modes_t/β tuning within the notebook's budget"). Each probe keeps the
+# notebook recipe (1152 samples, batch 4, m32/w10, lr 1e-2 OneCycle, seed
+# 1127825) and varies ONE lever; eval is the fixed protocol (fp64 256²,
+# T_start=50, 16 samples). Results append to results/mc_probe_r5.jsonl.
+cd "$(dirname "$0")/.."
+set -o pipefail
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+mkdir -p logs results models
+out=results/mc_probe_r5.jsonl
+: > "$out"
+
+run_probe() {
+  name=$1; shift
+  train_flags=("$@")
+  mp="models/probe_${name}"
+  log="logs/mc_probe_${name}_r5.log"
+  echo "=== probe=$name train: ${train_flags[*]} ==="
+  if ! MODEL_PATH="$mp" timeout 4800 python -m tpu_cfd.train.train \
+      --example McWilliams2d --num-samples 1152 --num-val-samples 128 \
+      --train-only "${train_flags[@]}" 2>&1 | tee "$log"; then
+    echo "{\"probe\": \"$name\", \"error\": \"train failed\"}" >> "$out"
+    return
+  fi
+  echo "=== probe=$name eval 256^2 fp64 T_start=50 ==="
+  if ! MODEL_PATH="$mp" timeout 1800 python -m tpu_cfd.train.train \
+      --example McWilliams2d --eval-only --double --num-test-samples 16 \
+      --test-t-start 50 "${eval_flags[@]}" 2>&1 | tee -a "$log"; then
+    echo "{\"probe\": \"$name\", \"error\": \"eval failed\"}" >> "$out"
+    return
+  fi
+  val=$(grep -oP 'avg val rel: \K[0-9.e-]+' "$log" | tail -1)
+  [ -z "$val" ] && val=null
+  tst=$(grep -oP 'Test rel Sobolev metric at 256x256: \K[0-9.e-]+' "$log" | tail -1)
+  echo "{\"probe\": \"$name\", \"train_flags\": \"${train_flags[*]}\", \"val_rel_l2\": $val, \"test_sobolev_256\": $tst, \"log\": \"$log\"}" >> "$out"
+}
+
+eval_flags=()
+run_probe ep30 --epochs 30
+eval_flags=()
+run_probe beta01 --epochs 15 --beta 0.1
+eval_flags=(--modes-t 6)
+run_probe modest6 --epochs 15 --modes-t 6
+eval_flags=()
+run_probe h1loss --epochs 15 --norm-order 1.0
+
+echo "probe ladder done -> $out"
+cat "$out"
