@@ -63,16 +63,18 @@ def make_state(n, batch):
     return grid, ns, jnp.fft.rfft2(w0)
 
 
-def scaling_mode(n, batch, impl="fft", precision="highest"):
+def scaling_mode(n, batch, impl="fft", precision="highest",
+                 block_cols="auto"):
     """Separates per-CALL dispatch latency from per-ITERATION device time by
     timing scan programs of several lengths: t(call) = a + len * b."""
     grid, ns, what = make_state(n, batch)
-    fused = impl == "dft_aligned_fused"
+    fused = impl.endswith("_fused")
     if impl != "fft":
         ns = equations.NavierStokes2DSpectral(
             viscosity=1e-3, grid=grid,
-            fft_impl="dft_aligned" if fused else impl,
+            fft_impl=impl[: -len("_fused")] if fused else impl,
             mxu_precision=precision, fused=fused,
+            fused_block_cols=block_cols,
         )
         what = ns._align(what)
     dt = 1e-3
@@ -112,6 +114,8 @@ def scaling_mode(n, batch, impl="fft", precision="highest"):
     a, b = coef
     print(json.dumps({
         "impl": impl, "n": n, "batch": batch, "precision": precision,
+        **({"block_cols": block_cols} if fused and block_cols != "auto"
+           else {}),
         "per_call_overhead_ms": round(a * 1e3, 2),
         "per_step_device_ms": round(b * 1e3, 3),
         "sample_steps_per_s_device": round(batch / b, 0),
@@ -130,14 +134,20 @@ def main():
                     help="fit per-call overhead vs per-step device time")
     ap.add_argument("--impl", default="fft",
                     choices=["fft", "dft", "dft_aligned", "dft_galerkin",
-                             "dft_aligned_fused"])
+                             "dft_aligned_fused", "dft_galerkin_fused"])
     ap.add_argument("--precision", default="highest",
                     choices=["highest", "high", "default"])
+    ap.add_argument("--block-cols", default="auto",
+                    help="fused kernel physical-column tile width: 'auto', "
+                         "'none' (resident), or an int")
     args = ap.parse_args()
+    bc = args.block_cols
+    if bc not in ("auto",):
+        bc = None if bc.lower() == "none" else int(bc)
 
     if args.scaling:
         for batch in [int(b) for b in args.batches.split(",")]:
-            scaling_mode(args.n, batch, args.impl, args.precision)
+            scaling_mode(args.n, batch, args.impl, args.precision, bc)
         return
 
     n = args.n

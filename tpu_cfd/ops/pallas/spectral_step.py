@@ -101,7 +101,8 @@ def _host_constants(n: int, step: Tuple[float, float], viscosity: float,
     }
 
 
-def _make_kernel(steps: int, mus, precision: str):
+def _make_kernel(steps: int, mus, precision: str,
+                 block_cols: Optional[int] = None):
     highest = precision == "highest"
     three = precision == "high"
 
@@ -219,12 +220,67 @@ def _make_kernel(steps: int, mus, precision: str):
             z_im = mm(p_ff_re, pt_im) + mm(p_ff_im, pt_re)
             return z_re * filt + f_re, z_im * filt + f_im
 
+        def explicit_blocked(wre, wim):
+            """Same stage, tiled over physical-space COLUMN blocks.
+
+            The resident ``explicit`` materializes four full (n, n) physical
+            fields — the VMEM item that scales quadratically and kills the
+            kernel above 512² (191.8 MiB program at 1024², round-4
+            crossover log). But the advection product is pointwise in
+            physical space, so the last-axis inverse DFT, the product, and
+            the last-axis forward DFT fuse PER COLUMN BLOCK: for each block
+            J of ``block_cols`` physical columns, form the four (n, |J|)
+            field blocks, multiply, and accumulate
+            ``adv[:, J] @ fwd_last[J, :]`` into the advection spectrum. The
+            full physical fields never exist; peak VMEM holds the state,
+            the transform matrices, the four PRE-SPLIT first-axis outputs
+            (bf16 passes, (n, m) each), and one block of intermediates.
+            FLOPs are identical to ``explicit``; only the summation order
+            of the forward transform differs (block-major instead of one
+            long contraction).
+            """
+            pre, pim = -wre * ilap, -wim * ilap
+            stage1 = []
+            for fre, fim in (
+                (-tky * pim, tky * pre),                 # u = 2πi ky ψ
+                (tkx * pim, -tkx * pre),                 # v = -2πi kx ψ
+                (-tkx * wim, tkx * wre),                 # ∂ω/∂x
+                (-tky * wim, tky * wre),                 # ∂ω/∂y
+            ):
+                pfre, pfim = prep(fre), prep(fim)
+                ar = mm(p_gf_re, pfre) - mm(p_gf_im, pfim)   # (n, m)
+                ai = mm(p_gf_re, pfim) + mm(p_gf_im, pfre)
+                stage1.append((prep(ar), prep(ai)))          # bf16 passes only
+            (vx_s, vy_s, gx_s, gy_s) = stage1
+            n_phys = p_il_re[0].shape[1]
+            t_re = t_im = None
+            for j0 in range(0, n_phys, block_cols):
+                sl = slice(j0, j0 + block_cols)
+                il_re_b = tuple(p[:, sl] for p in p_il_re)
+                il_im_b = tuple(p[:, sl] for p in p_il_im)
+                vx_b = mm(vx_s[0], il_re_b) + mm(vx_s[1], il_im_b)
+                vy_b = mm(vy_s[0], il_re_b) + mm(vy_s[1], il_im_b)
+                gx_b = mm(gx_s[0], il_re_b) + mm(gx_s[1], il_im_b)
+                gy_b = mm(gy_s[0], il_re_b) + mm(gy_s[1], il_im_b)
+                padv = prep(-(gx_b * vx_b + gy_b * vy_b))    # (n, |J|)
+                fl_re_b = tuple(p[sl, :] for p in p_fl_re)
+                fl_im_b = tuple(p[sl, :] for p in p_fl_im)
+                c_re, c_im = mm(padv, fl_re_b), mm(padv, fl_im_b)
+                t_re = c_re if t_re is None else t_re + c_re
+                t_im = c_im if t_im is None else t_im + c_im
+            pt_re, pt_im = prep(t_re), prep(t_im)
+            z_re = mm(p_ff_re, pt_re) - mm(p_ff_im, pt_im)
+            z_im = mm(p_ff_re, pt_im) + mm(p_ff_im, pt_re)
+            return z_re * filt + f_re, z_im * filt + f_im
+
+        explicit_fn = explicit if block_cols is None else explicit_blocked
+
         def one_step(_, carry):
             wre, wim = carry
             hre = jnp.zeros_like(wre)
             him = jnp.zeros_like(wim)
             for k in range(5):
-                e_re, e_im = explicit(wre, wim)
+                e_re, e_im = explicit_fn(wre, wim)
                 hre = e_re + _BETAS[k] * hre
                 him = e_im + _BETAS[k] * him
                 den = dens_ref[k]
@@ -253,12 +309,21 @@ def fused_rollout_aligned(
     forcing_hat: Optional[Array] = None,
     precision: str = "high",
     interpret: Optional[bool] = None,
+    block_cols="auto",
 ) -> Array:
     """March an aligned ``(..., n, n//2)`` complex64 spectrum ``steps`` steps.
 
     Bit-for-bit the same update rule as ``NavierStokes2DSpectral`` with
     ``fft_impl="dft_aligned"`` and the matching ``mxu_precision`` (up to
     matmul summation order). Forward-only (no VJP).
+
+    ``block_cols``: physical-column tile width for the blocked stage
+    pipeline (``_make_kernel`` explicit_blocked) — removes the full
+    (n, n) physical fields from VMEM, which is what caps the resident
+    kernel at 512². ``"auto"`` keeps the measured-fastest resident layout
+    through 256² and tiles 256 columns above; ``None`` forces resident;
+    an int forces that tile width (must divide n, lane-tile multiples of
+    128 perform best).
     """
     n = grid.shape[-1]
     m = n // 2
@@ -266,6 +331,125 @@ def fused_rollout_aligned(
         raise ValueError(
             f"expected aligned spectrum (..., {n}, {m}), got {w_hat.shape}"
         )
+    consts = _host_constants(n, tuple(float(s) for s in grid.step),
+                             float(viscosity), float(drag), float(dt))
+    mats = dft2d._mats(n, m, "float32")
+    # ~30 real matmuls of 2·n·n·m flops per stage, 5 stages, per step
+    flops_per_sample = 30 * (2 * n * n * m) * 5 * steps
+    return _fused_rollout(
+        w_hat, mats=mats, consts=consts, n=n, rows=n, m=m,
+        dt=dt, steps=steps, forcing_hat=forcing_hat, precision=precision,
+        interpret=interpret, block_cols=block_cols,
+        flops_per_sample=flops_per_sample,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _host_constants_galerkin(n: int, step: Tuple[float, float],
+                             viscosity: float, drag: float, dt: float):
+    """Per-mode constants restricted to the 2/3-rule Galerkin block.
+
+    Same formulas as :func:`_host_constants` on the (rows, m) block of
+    ``dft2d.galerkin_block`` — the block IS the brick-wall filter support,
+    so the dealias mask is identically 1 and the per-stage filter multiply
+    is a no-op (passed as ones to keep the kernel signature uniform).
+    """
+    rows, m = dft2d.galerkin_block(n)
+    ridx = np.asarray(rows)
+    fx = np.fft.fftfreq(n, d=step[0]).astype(np.float64)[ridx]
+    fy = np.fft.fftfreq(n, d=step[1])[:m].astype(np.float64)
+    kx = np.broadcast_to(fx[:, None], (len(rows), m)).copy()
+    ky = np.broadcast_to(fy[None, :], (len(rows), m)).copy()
+    lap = -4 * np.pi**2 * (kx**2 + ky**2)
+    lap_g = lap.copy()
+    lap_g[0, 0] = 1.0  # rows[0] is mode 0 (galerkin_block keeps it first)
+    lin = viscosity * lap - drag
+    mus = tuple(0.5 * dt * (_ALPHAS[k + 1] - _ALPHAS[k]) for k in range(5))
+    dens = np.stack([1.0 / (1.0 - mu * lin) for mu in mus])
+    f32 = np.float32
+    return {
+        "tkx": (2 * np.pi * kx).astype(f32),
+        "tky": (2 * np.pi * ky).astype(f32),
+        "ilap": (1.0 / lap_g).astype(f32),
+        "filt": np.ones((len(rows), m), f32),
+        "lin": lin.astype(f32),
+        "dens": dens.astype(f32),
+        "mus": mus,
+    }
+
+
+def fused_rollout_galerkin(
+    w_block: Array,
+    *,
+    grid,
+    viscosity: float,
+    drag: float,
+    dt: float,
+    steps: int,
+    forcing_hat: Optional[Array] = None,
+    precision: str = "high",
+    interpret: Optional[bool] = None,
+    block_cols="auto",
+) -> Array:
+    """March a Galerkin-block ``(..., R, m)`` complex64 spectrum.
+
+    The fused stepper on exactly the 2/3-rule dealiasing support (the
+    layout of ``fft_impl="dft_galerkin"``): ~55% fewer transform FLOPs
+    than the aligned layout, a no-op dealias mask, and a (R, m) state —
+    the aligned layout's tile-padding argument against the block (170x86
+    pads to the same 256x128 MXU tiles at 256²) fades at large n, where
+    the aligned kernel is FLOP-capped below the XLA galerkin path (the
+    1024² aligned ceiling is 197T/483G ≈ 408 sample-steps/s vs galerkin's
+    measured 583 — results/blocked_crossover_r5.jsonl). Same update rule
+    as ``NavierStokes2DSpectral(fft_impl="dft_galerkin")`` up to matmul
+    summation order. Forward-only (no VJP).
+    """
+    n = grid.shape[-1]
+    rows, m = dft2d.galerkin_block(n)
+    R = len(rows)
+    if w_block.shape[-2:] != (R, m):
+        raise ValueError(
+            f"expected galerkin-block spectrum (..., {R}, {m}), "
+            f"got {w_block.shape}"
+        )
+    consts = _host_constants_galerkin(
+        n, tuple(float(s) for s in grid.step),
+        float(viscosity), float(drag), float(dt))
+    M = dft2d._mats(n, m, "float32")
+    Rm = dft2d._mats_rows(n, rows, "float32")
+    mats = {
+        "inv_first_re": Rm["inv_re"], "inv_first_im": Rm["inv_im"],
+        "inv_last_re": M["inv_last_re"], "inv_last_im": M["inv_last_im"],
+        "fwd_last_re": M["fwd_last_re"], "fwd_last_im": M["fwd_last_im"],
+        "fwd_first_re": Rm["fwd_re"], "fwd_first_im": Rm["fwd_im"],
+    }
+    # per stage: 4 inverse (8nRm + 4n²m flops) + 1 forward (4n²m + 8Rnm)
+    flops_per_sample = 5 * (40 * n * R * m + 20 * n * n * m) * steps
+    return _fused_rollout(
+        w_block, mats=mats, consts=consts, n=n, rows=R, m=m,
+        dt=dt, steps=steps, forcing_hat=forcing_hat, precision=precision,
+        interpret=interpret, block_cols=block_cols,
+        flops_per_sample=flops_per_sample,
+    )
+
+
+def _fused_rollout(
+    w_hat: Array,
+    *,
+    mats: dict,
+    consts: dict,
+    n: int,
+    rows: int,
+    m: int,
+    dt: float,
+    steps: int,
+    forcing_hat: Optional[Array],
+    precision: str,
+    interpret: Optional[bool],
+    block_cols,
+    flops_per_sample: int,
+) -> Array:
+    """Layout-agnostic core: state is ``(rows, m)``, physical grid ``n²``."""
     if w_hat.dtype != jnp.complex64:
         raise ValueError("fused rollout is fp32-only (complex64 state)")
     if precision not in ("highest", "high", "default"):
@@ -277,14 +461,16 @@ def fused_rollout_aligned(
 
     lead = w_hat.shape[:-2]
     b = math.prod(lead) if lead else 1
-    w = w_hat.reshape((b, n, m))
+    w = w_hat.reshape((b, rows, m))
 
-    consts = _host_constants(n, tuple(float(s) for s in grid.step),
-                             float(viscosity), float(drag), float(dt))
-    mats = dft2d._mats(n, m, "float32")
+    if block_cols == "auto":
+        block_cols = None if n <= 256 else 256
+    if block_cols is not None and n % block_cols:
+        raise ValueError(f"block_cols={block_cols} must divide n={n}")
+
     dt_gammas = tuple(g * dt for g in _GAMMAS)
     kernel = functools.partial(
-        _make_kernel(steps, consts["mus"], precision), dt_gammas
+        _make_kernel(steps, consts["mus"], precision, block_cols), dt_gammas
     )
 
     # transform matrices, host-side pre-split to the kernel's precision
@@ -314,13 +500,13 @@ def fused_rollout_aligned(
     ]
 
     if forcing_hat is None:
-        f_re = jnp.zeros((n, m), jnp.float32)
-        f_im = jnp.zeros((n, m), jnp.float32)
+        f_re = jnp.zeros((rows, m), jnp.float32)
+        f_im = jnp.zeros((rows, m), jnp.float32)
     else:
         f_re = jnp.real(forcing_hat).astype(jnp.float32)
         f_im = jnp.imag(forcing_hat).astype(jnp.float32)
 
-    sample = pl.BlockSpec((1, n, m), lambda i: (i, 0, 0),
+    sample = pl.BlockSpec((1, rows, m), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     const2 = lambda shape: pl.BlockSpec(  # noqa: E731 — local spec factory
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -330,35 +516,36 @@ def fused_rollout_aligned(
     # for the ≤256² working set but not the 30.3 MiB the batched transforms
     # need at 512² (results/crossover_r4.jsonl.log). v5e has 128 MiB VMEM;
     # raising the limit for n>256 makes 512² compile without touching the
-    # measured ≤256² operating points. 1024² genuinely exceeds capacity
-    # (191.8 MiB program requirement) and stays on the XLA galerkin path.
+    # measured ≤256² operating points. The ALIGNED layout at 1024²
+    # genuinely exceeds capacity even column-blocked (188 MiB with every
+    # input window double-buffered) — and is FLOP-capped below the XLA
+    # galerkin path there anyway; the galerkin-block layout is the 1024²
+    # candidate.
     compiler_params = None
     if n > 256:
         compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=(116 if n >= 1024 else 100) * 1024 * 1024
         )
 
-    # ~30 real matmuls of 2·n·n·m flops per stage, 5 stages, per step
-    flops_per_sample = 30 * (2 * n * n * m) * 5 * steps
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[sample, sample]
         + [const2(a.shape) for a in mat_inputs]
         + [
-            const2((n, m)), const2((n, m)),      # 2πkx, 2πky
-            const2((n, m)), const2((n, m)), const2((n, m)),  # ilap/filt/lin
-            const2((5, n, m)),                   # stage denominators
-            const2((n, m)), const2((n, m)),      # forcing re/im
+            const2((rows, m)), const2((rows, m)),      # 2πkx, 2πky
+            const2((rows, m)), const2((rows, m)), const2((rows, m)),
+            const2((5, rows, m)),                      # stage denominators
+            const2((rows, m)), const2((rows, m)),      # forcing re/im
         ],
         out_specs=(sample, sample),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n, m), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, rows, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, rows, m), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=b * flops_per_sample,
-            bytes_accessed=b * (4 * n * m * 4),
+            bytes_accessed=b * (4 * rows * m * 4),
             transcendentals=0,
         ),
         compiler_params=compiler_params,
@@ -371,4 +558,4 @@ def fused_rollout_aligned(
         f_re, f_im,
     )
     out = jax.lax.complex(out_re, out_im)
-    return out.reshape(lead + (n, m)) if lead else out[0]
+    return out.reshape(lead + (rows, m)) if lead else out[0]

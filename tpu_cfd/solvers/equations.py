@@ -283,6 +283,12 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
     # and the default RK4CrankNicolson stepper; forward-only (data
     # generation / benchmarking — differentiating through it raises).
     fused: bool = False
+    # Physical-column tile width for the fused kernel's blocked stage
+    # pipeline ("auto" = resident ≤256², 256-column tiles above — the
+    # resident layout's (n, n) physical fields exceed VMEM at 1024²);
+    # None forces resident, an int forces that tile width. Ignored unless
+    # fused=True.
+    fused_block_cols: object = "auto"
 
     def _irfft2(self, x: Array) -> Array:
         if self.fft_impl == "dft_galerkin":
@@ -343,10 +349,11 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
         if self.solver is None:
             self.solver = RK4CrankNicolsonStepper()
         if self.fused:
-            if self.fft_impl != "dft_aligned":
+            if self.fft_impl not in ("dft_aligned", "dft_galerkin"):
                 raise ValueError(
-                    "fused=True requires fft_impl='dft_aligned' (the fused "
-                    "kernel bakes the lane-aligned spectrum layout)"
+                    "fused=True requires fft_impl='dft_aligned' or "
+                    "'dft_galerkin' (the fused kernel bakes the truncated "
+                    "spectrum layout)"
                 )
             if not self.smooth:
                 raise ValueError("fused=True requires smooth=True")
@@ -497,7 +504,12 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
                 f_hat = self._explicit_terms(
                     jnp.zeros(vort_hat.shape[-2:], vort_hat.dtype)
                 )
-            vort_hat = spectral_step.fused_rollout_aligned(
+            rollout = (
+                spectral_step.fused_rollout_galerkin
+                if self.fft_impl == "dft_galerkin"
+                else spectral_step.fused_rollout_aligned
+            )
+            vort_hat = rollout(
                 vort_hat,
                 grid=self.grid,
                 viscosity=self.viscosity,
@@ -506,6 +518,7 @@ class NavierStokes2DSpectral(ImplicitExplicitODE):
                 steps=steps,
                 forcing_hat=f_hat,
                 precision=self.mxu_precision,
+                block_cols=self.fused_block_cols,
             )
         elif steps == 1:
             vort_hat = self.solver(vort_hat, dt, self)
