@@ -84,12 +84,12 @@ def _solver_setup(n, batch, impl, precision="high"):
     # precision "high" is the adopted data-gen default: measured physics-
     # indistinguishable from the fp32 FFT path (scripts/
     # validate_dft_precision.py; RESULTS.md precision ladder).
-    # "dft_aligned_fused" = the aligned layout stepped by the fused Pallas
-    # VMEM-resident kernel (ops/pallas/spectral_step.py).
-    fused = impl == "dft_aligned_fused"
+    # "dft_aligned_fused" / "dft_galerkin_fused" = those layouts stepped by
+    # the fused Pallas VMEM-resident kernel (ops/pallas/spectral_step.py).
+    fused = impl.endswith("_fused")
     ns = equations.NavierStokes2DSpectral(
         viscosity=1e-3, grid=grid,
-        fft_impl="dft_aligned" if fused else impl,
+        fft_impl=impl[: -len("_fused")] if fused else impl,
         mxu_precision=precision, fused=fused,
     )
     return ns, jnp.fft.rfft2(w0)
@@ -275,7 +275,7 @@ def solver_flops_per_sample_step(impl, n):
     """
     if impl == "fft":
         return None
-    if impl == "dft_galerkin":
+    if impl in ("dft_galerkin", "dft_galerkin_fused"):
         from tpu_cfd.ops import dft2d
 
         rows, m = dft2d.galerkin_block(n)
@@ -313,9 +313,16 @@ def first_principles_utilization(impl, n, batch, steps_per_s,
         "mxu_pass_occupancy": round(logical * passes / V5E_PEAK_FLOPS, 4),
         "mxu_passes_per_flop": passes,
     }
-    m = n // 2 + 1 if impl == "dft" else n // 2
-    state_bytes = 16 * n * m  # complex64 state read + written once
-    if impl == "dft_aligned_fused" and steps_per_call:
+    if impl in ("dft_galerkin", "dft_galerkin_fused"):
+        from tpu_cfd.ops import dft2d
+
+        rows, m = dft2d.galerkin_block(n)
+        r_state = len(rows)
+    else:
+        r_state = n
+        m = n // 2 + 1 if impl == "dft" else n // 2
+    state_bytes = 16 * r_state * m  # complex64 state read + written once
+    if impl.endswith("_fused") and steps_per_call:
         calls_per_s = steps_per_s / steps_per_call
         out["hbm_gb_per_s_state_dma"] = round(
             state_bytes * batch * calls_per_s / 1e9, 3)

@@ -116,7 +116,7 @@ def get_args_ns2d(desc: str = "NSE 2D data generation") -> argparse.ArgumentPars
                         "device-count-invariant)")
     p.add_argument("--fft-impl", type=str, default=None,
                    choices=["fft", "dft", "dft_aligned", "dft_galerkin",
-                            "dft_aligned_fused"],
+                            "dft_aligned_fused", "dft_galerkin_fused"],
                    help="solver transform implementation; default picks "
                         "dense-DFT MXU matmuls restricted to the 2/3-rule "
                         "dealiasing block (dft_galerkin — exact for "

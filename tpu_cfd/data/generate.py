@@ -253,11 +253,11 @@ def run_generation(
             n, args.batch_size, double=args.double,
             dealias=not args.no_dealias,
         )
-        if fft_impl == "dft_aligned_fused" and not fused_ok:
+        if fft_impl.endswith("_fused") and not fused_ok:
             fft_impl = "dft_galerkin"
-    elif fft_impl == "dft_aligned_fused" and not fused_ok:
+    elif fft_impl.endswith("_fused") and not fused_ok:
         raise ValueError(
-            "--fft-impl dft_aligned_fused is incompatible with this "
+            f"--fft-impl {fft_impl} is incompatible with this "
             f"dataset's time integrator ({type(solver).__name__}); the "
             "fused kernel implements the low-storage RK4-CN stepper only"
         )
@@ -273,7 +273,7 @@ def run_generation(
         ``smooth=True``. Adopting an incompatible recorded pin would crash
         in the constructor instead of falling back with a warning.
         """
-        if impl == "dft_aligned_fused":
+        if impl.endswith("_fused"):
             return fused_ok and not args.double and not args.no_dealias
         if impl == "dft_galerkin":
             return not args.no_dealias
@@ -321,7 +321,7 @@ def run_generation(
                 fft_impl = rec_impl
                 if rec_prec:
                     mxu_precision = rec_prec
-    fused = fft_impl == "dft_aligned_fused"
+    fused = fft_impl.endswith("_fused")
     mesh = None
     if getattr(args, "data_parallel", False):
         # shard the sample batch over every available device: each device
@@ -346,7 +346,7 @@ def run_generation(
             if full % n_dev or last % n_dev:
                 if fft_impl_explicit:
                     raise ValueError(
-                        f"--fft-impl dft_aligned_fused with --data-parallel "
+                        f"--fft-impl {fft_impl} with --data-parallel "
                         f"needs every generation batch divisible by the "
                         f"{n_dev}-device data axis; got batches of {full} "
                         f"with a final batch of {last} "
@@ -384,7 +384,7 @@ def run_generation(
         forcing_fn=forcing_fn,
         solver=solver or RK4CrankNicolsonStepper(),
         dtype=compute_dtype,
-        fft_impl="dft_aligned" if fused else fft_impl,
+        fft_impl=fft_impl[: -len("_fused")] if fused else fft_impl,
         mxu_precision=mxu_precision,
         fused=fused,
     )
