@@ -37,12 +37,20 @@ run_probe() {
   echo "{\"probe\": \"$name\", \"train_flags\": \"${train_flags[*]}\", \"val_rel_l2\": $val, \"test_sobolev_256\": $tst, \"log\": \"$log\"}" >> "$out"
 }
 
-eval_flags=()
-run_probe ep30 --epochs 30
-eval_flags=()
-run_probe beta01 --epochs 15 --beta 0.1
-eval_flags=(--modes-t 6)
-run_probe modest6 --epochs 15 --modes-t 6
+# Provenance (round-5 finding): the reference's 1.17564e-1 artifact comes
+# from examples/ex2_SFNO_finetune_McWilliams2d.ipynb cell 3 — a model built
+# with beta=-1e-2 (the SFNO class default, sfno.py:468), NOT train.py's
+# --beta default of 0.0 that the repo recipe mirrored. beta is the
+# exponential decay scale of the time positional encoding ("should match
+# the a priori energy estimate of the NSE" — sfno.py:529); for decaying
+# McWilliams turbulence the negative value is the physical choice. Probe it
+# first, alone and combined with the secondary levers.
+eval_flags=(--beta -0.01)
+run_probe betaneg --epochs 15 --beta -0.01
+eval_flags=(--beta -0.01)
+run_probe betaneg_ep30 --epochs 30 --beta -0.01
+eval_flags=(--beta -0.01 --activation ReLU)
+run_probe betaneg_relu --epochs 15 --beta -0.01 --activation ReLU
 eval_flags=()
 run_probe h1loss --epochs 15 --norm-order 1.0
 
