@@ -422,13 +422,29 @@ def main():
             utilization[k] = rows
     datagen_util = utilization.get(datagen_impl, {}).get(f"b{b128_batch}")
 
-    t4 = bench_sfno_train(trace_dir=trace_dir, n_calls=sfno_kw_calls, **sfno_kw)
-    t32 = bench_sfno_train(batch=b32, n_calls=b32_calls, **sfno_kw)
-    t4_bf16 = bench_sfno_train(compute_dtype="bfloat16", n_calls=sfno_kw_calls, **sfno_kw)
+    def _sfno_row(**kw):
+        # each SFNO row gets the same failure isolation as the solver rows:
+        # a single wedged dispatch must not sink the whole bench line the
+        # driver records (the solver headline is the contract metric)
+        try:
+            return bench_sfno_train(**kw)
+        except Exception as e:  # noqa: BLE001 — survive any backend failure
+            import sys
+
+            print(f"bench: sfno train row {kw} failed: {e!r}", file=sys.stderr)
+            return {"batch": kw.get("batch", 4), "samples_per_s": 0.0,
+                    "ms_train_step": 0.0, "ms_forward_plus_loss": 0.0,
+                    "ms_backward_plus_update": 0.0, "flops": 0.0, "hbm": 0.0,
+                    "error": repr(e)[:200]}
+
+    t4 = _sfno_row(trace_dir=trace_dir, n_calls=sfno_kw_calls, **sfno_kw)
+    t32 = _sfno_row(batch=b32, n_calls=b32_calls, **sfno_kw)
+    t4_bf16 = _sfno_row(compute_dtype="bfloat16", n_calls=sfno_kw_calls,
+                        **sfno_kw)
     # the training operating point (round-4 opt-layout sweep): bf16
     # activations only pay at real batch — +20% at b32, ~0 at b4
-    t32_bf16 = bench_sfno_train(batch=b32, compute_dtype="bfloat16",
-                                n_calls=b32_calls, **sfno_kw)
+    t32_bf16 = _sfno_row(batch=b32, compute_dtype="bfloat16",
+                         n_calls=b32_calls, **sfno_kw)
     try:
         pipe_kw = dict(n=sfno_kw.get("n", 64), t_in=sfno_kw.get("t_in", 10),
                        t_out=sfno_kw.get("t_out", 40))
@@ -484,6 +500,11 @@ def main():
                 tpipe["samples_per_s"], 2),
             **({"sfno_train_pipeline_error": tpipe["error"]}
                if "error" in tpipe else {}),
+            **({"sfno_train_errors": {k: t["error"] for k, t in
+                (("b4", t4), ("b32", t32), ("b4_bf16", t4_bf16),
+                 ("b32_bf16", t32_bf16)) if "error" in t}}
+               if any("error" in t for t in (t4, t32, t4_bf16, t32_bf16))
+               else {}),
             "sfno_train_costmodel": costmodel_bound(
                 t4["flops"], t4["hbm"], t4["samples_per_s"] / t4["batch"]),
         },
