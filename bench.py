@@ -374,7 +374,7 @@ def main():
 
     solver = {}
     for impl in ("fft", "dft", "dft_aligned", "dft_galerkin",
-                 "dft_aligned_fused"):
+                 "dft_aligned_fused", "dft_galerkin_fused"):
         # one experimental impl must not sink the whole bench (the fused
         # Pallas path is the first Mosaic kernel this backend compiles —
         # if the axon remote-compile rejects it, record the failure and

@@ -27,11 +27,15 @@ mkdir -p logs results models
 out=results/mc_probe_r5.jsonl
 phase="${1:-all}"
 
-PROBES=(betaneg betaneg_ep30 betaneg_relu h1loss)
+PROBES=(betaneg betaneg_ep30 betaneg_relu h1loss betaneg_ep45)
 train_flags_betaneg=(--epochs 15 --beta -0.01)
 eval_flags_betaneg=(--beta -0.01)
 train_flags_betaneg_ep30=(--epochs 30 --beta -0.01)
 eval_flags_betaneg_ep30=(--beta -0.01)
+# ep30 was the only probe that moved the 256² metric (1.2092e-1 vs
+# 1.2236e-1) — ep45 measures whether the training-budget lever saturates
+train_flags_betaneg_ep45=(--epochs 45 --beta -0.01)
+eval_flags_betaneg_ep45=(--beta -0.01)
 train_flags_betaneg_relu=(--epochs 15 --beta -0.01 --activation ReLU)
 eval_flags_betaneg_relu=(--beta -0.01 --activation ReLU)
 train_flags_h1loss=(--epochs 15 --norm-order 1.0)
@@ -58,6 +62,10 @@ eval_probe() {
   local -n ef="eval_flags_${name}"
   local mp="models/probe_${name}"
   local log="logs/mc_probe_${name}_r5.log"
+  if grep -q "\"probe\": \"$name\"" "$out" 2>/dev/null; then
+    echo "=== probe=$name already evaluated, skipping ==="
+    return
+  fi
   if [ ! -d "$mp/sfno_McWilliams2d_64x64_m32_w10" ]; then
     echo "{\"probe\": \"$name\", \"error\": \"no checkpoint (train failed)\"}" >> "$out"
     return
@@ -80,7 +88,6 @@ if [ "$phase" = "train" ] || [ "$phase" = "all" ]; then
   for p in "${PROBES[@]}"; do train_probe "$p"; done
 fi
 if [ "$phase" = "eval" ] || [ "$phase" = "all" ]; then
-  : > "$out"
   for p in "${PROBES[@]}"; do eval_probe "$p"; done
   echo "probe ladder done -> $out"
   cat "$out"

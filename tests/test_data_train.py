@@ -444,21 +444,23 @@ class TestIncrementalIO:
 
     def test_recommended_fft_impl_table(self):
         """The resolution-aware solver-impl default encodes the measured
-        round-4 crossover table (results/crossover_r4.jsonl)."""
+        crossover tables (results/crossover_r4.jsonl,
+        results/galerkin_fused_crossover_r5.jsonl)."""
         from tpu_cfd.solvers.equations import recommended_fft_impl
 
         # fp64 -> CPU -> fft; no dealiasing -> fft (galerkin/fused need it)
         assert recommended_fft_impl(256, 128, double=True) == "fft"
         assert recommended_fft_impl(256, 128, dealias=False) == "fft"
-        # fused only at its measured 256²/large-batch operating point
-        assert recommended_fft_impl(256, 128) == "dft_aligned_fused"
-        assert recommended_fft_impl(256, 32) == "dft_aligned_fused"
+        # galerkin-layout fused kernel at the measured large-batch points
+        assert recommended_fft_impl(256, 128) == "dft_galerkin_fused"
+        assert recommended_fft_impl(256, 32) == "dft_galerkin_fused"
+        assert recommended_fft_impl(512, 64) == "dft_galerkin_fused"
+        # ... and at every batch at 1024² (128-column blocked pipeline)
+        assert recommended_fft_impl(1024, 8) == "dft_galerkin_fused"
+        # galerkin wins small batches and every batch at <=128²
         assert recommended_fft_impl(256, 8) == "dft_galerkin"
-        # galerkin wins at every batch at 128² and is the only compiling
-        # dense path at >=512²
+        assert recommended_fft_impl(512, 8) == "dft_galerkin"
         assert recommended_fft_impl(128, 128) == "dft_galerkin"
-        assert recommended_fft_impl(512, 128) == "dft_galerkin"
-        assert recommended_fft_impl(1024, 8) == "dft_galerkin"
         assert recommended_fft_impl(64, 8) == "dft_galerkin"
 
     def test_parse_diam(self):

@@ -464,7 +464,12 @@ def _fused_rollout(
     w = w_hat.reshape((b, rows, m))
 
     if block_cols == "auto":
-        block_cols = None if n <= 256 else 256
+        # Measured (results/galerkin_fused_crossover_r5.jsonl): the resident
+        # layout fits and edges out 256-column tiles at 512² (3,822 vs 3,763
+        # sample-steps/s b8); at 1024² only 128-column tiles fit the scoped
+        # VMEM budget (256-column misses by 368 KiB) and they beat the
+        # unfused galerkin path (648 vs 583 sample-steps/s b8).
+        block_cols = None if n <= 512 else 128
     if block_cols is not None and n % block_cols:
         raise ValueError(f"block_cols={block_cols} must divide n={n}")
 

@@ -207,25 +207,31 @@ def recommended_fft_impl(
       512², 4.2× at 1024² (b8) — so the O(n³)-vs-O(n² log n) crossover sits
       beyond the supported resolution range; there is no n at which ``fft``
       is the right fp32 TPU default.
-    - The fused Pallas stepper (``dft_aligned_fused``) wins only at 256²
-      with large batch (25,348 vs 14,436 sample-steps/s at b128; at b8 it
-      trails galerkin 26,685 vs 30,208). The batch threshold
-      of 32 interpolates the round-3 per-sample-step curves: galerkin
-      degrades 33→69 µs/sample-step from b8→b128 while fused stays flat at
-      ~39 µs, so they cross between b16 and b32. At 512² the kernel
-      compiles under a raised 100 MiB scoped-VMEM limit (round 5,
-      results/crossover_r5.jsonl) but loses to galerkin at b8 (3,128 vs
-      4,556 sample-steps/s) and ties at b64 (3,164 vs 3,121), so galerkin
-      stays the 512² default; 1024² exceeds VMEM capacity outright
-      (191.8 MiB program requirement) and cannot compile.
+    - The fused Pallas stepper on the Galerkin-block layout
+      (``dft_galerkin_fused``, round-5 sweep
+      results/galerkin_fused_crossover_r5.jsonl) supersedes the aligned
+      layout (``dft_aligned_fused``) everywhere the kernel wins: at 256² it
+      beats both the aligned-fused kernel (26,621 vs 25,348 sample-steps/s
+      at b128) and galerkin's degraded large-batch throughput, at 512² it
+      overtakes galerkin above the same b32 threshold (3,823 vs 3,121 at
+      b64; galerkin still wins b8: 4,556 vs 3,822), and at 1024² the
+      column-blocked stage pipeline (128-column tiles — 256 misses the
+      scoped-VMEM limit by 368 KiB) makes it the first fused config that
+      compiles at all and it wins outright at every batch (648 vs 583 at
+      b8). Small-batch 256² stays galerkin (30,208 vs 26,284 at b8): the
+      batch-32 threshold interpolates the round-3 per-sample-step curves —
+      galerkin degrades 33→69 µs/sample-step from b8→b128 while the fused
+      kernels stay flat, crossing between b16 and b32.
     - fp64 runs solve on CPU (no TPU f64/c128) where jnp.fft wins; runs
       without dealiasing need ``fft`` (galerkin steps on the 2/3-rule block
       and the fused kernel hard-codes the filter).
     """
     if double or not dealias:
         return "fft"
-    if grid_size == 256 and batch_size >= 32:
-        return "dft_aligned_fused"
+    if grid_size >= 1024:
+        return "dft_galerkin_fused"
+    if grid_size >= 256 and batch_size >= 32:
+        return "dft_galerkin_fused"
     return "dft_galerkin"
 
 
