@@ -189,13 +189,16 @@ class TestTrainCLIDataParallel:
 
 class TestDataGenDataParallel:
     @pytest.mark.slow
-    @pytest.mark.parametrize("impl", [None, "dft_aligned_fused"])
+    @pytest.mark.parametrize(
+        "impl", [None, "dft_aligned_fused", "dft_galerkin_fused"]
+    )
     def test_generate_cli_equals_single_device(self, tmp_path, impl):
         """--data-parallel generation over 8 CPU devices stores the same
         dataset as the single-device run (per-sample fold_in seeding).
         Parametrized over the resolution-aware default impl (dft_galerkin
-        at this size, sharded by jit's SPMD partitioner) and the explicit
-        fused Pallas stepper (sharded via shard_map)."""
+        at this size, sharded by jit's SPMD partitioner) and both fused
+        Pallas stepper layouts (sharded via shard_map) — dft_galerkin_fused
+        is the adopted large-batch/1024² data-gen default (round 5)."""
         from tpu_cfd.data import generate
 
         common = [
