@@ -121,17 +121,18 @@ def get_args_ns2d(desc: str = "NSE 2D data generation") -> argparse.ArgumentPars
                         "dense-DFT MXU matmuls restricted to the 2/3-rule "
                         "dealiasing block (dft_galerkin — exact for "
                         "dealiased states, smallest transform cost), "
-                        "except dft_aligned_fused at 256^2 with batch>=32 "
-                        "(the measured fused-kernel win; RK4-CN-only, and "
+                        "except dft_galerkin_fused at >=256^2 with "
+                        "batch>=32 and at every batch at >=1024^2 "
+                        "(the measured fused-kernel wins; RK4-CN-only, and "
                         "under --data-parallel it needs batches divisible "
                         "by the device count, else it falls back to "
                         "dft_galerkin) and "
                         "jnp.fft for --double runs (fp64 solves on CPU, "
                         "where the FFT wins); dft_galerkin requires "
-                        "dealiasing on (no --no-dealias); dft_aligned_fused "
-                        "steps whole rollout chunks inside one VMEM-resident "
+                        "dealiasing on (no --no-dealias); the *_fused impls "
+                        "step whole rollout chunks inside one VMEM-resident "
                         "Pallas kernel (ops/pallas/spectral_step.py; with "
-                        "--data-parallel it shard_maps over the device mesh "
+                        "--data-parallel they shard_map over the device mesh "
                         "and every batch must divide the device count)")
     p.add_argument("--mxu-precision", type=str, default="high",
                    choices=["highest", "high", "default"],
