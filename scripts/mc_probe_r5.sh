@@ -27,7 +27,7 @@ mkdir -p logs results models
 out=results/mc_probe_r5.jsonl
 phase="${1:-all}"
 
-PROBES=(betaneg betaneg_ep30 betaneg_relu h1loss betaneg_ep45)
+PROBES=(betaneg betaneg_ep30 betaneg_relu h1loss betaneg_ep45 betaneg_ep90)
 train_flags_betaneg=(--epochs 15 --beta -0.01)
 eval_flags_betaneg=(--beta -0.01)
 train_flags_betaneg_ep30=(--epochs 30 --beta -0.01)
@@ -36,6 +36,10 @@ eval_flags_betaneg_ep30=(--beta -0.01)
 # 1.2236e-1) — ep45 measures whether the training-budget lever saturates
 train_flags_betaneg_ep45=(--epochs 45 --beta -0.01)
 eval_flags_betaneg_ep45=(--beta -0.01)
+# ep45 measured 1.2027e-1 (deltas: -1.2% then -0.5% — geometric); ep90
+# measures the actual plateau instead of extrapolating it
+train_flags_betaneg_ep90=(--epochs 90 --beta -0.01)
+eval_flags_betaneg_ep90=(--beta -0.01)
 train_flags_betaneg_relu=(--epochs 15 --beta -0.01 --activation ReLU)
 eval_flags_betaneg_relu=(--beta -0.01 --activation ReLU)
 train_flags_h1loss=(--epochs 15 --norm-order 1.0)
